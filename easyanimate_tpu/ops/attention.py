@@ -1,0 +1,135 @@
+"""High-level attention entry points: pad-to-block, backend dispatch, and the
+MMDiT joint text+video attention composition.
+
+Reference behavior being matched (easyanimate/models/processor.py:218-312):
+  - per-stream QKV projections (video via attn1, text via attn2 when MMDiT)
+  - per-head LayerNorm QK-norm (eps 1e-6)
+  - concat text-first along the sequence
+  - RoPE applied to the video slice of q and k only
+  - a single fused attention over the concatenated sequence
+The projections/norms/RoPE live in models/blocks.py; here we provide the
+attention math with a Pallas fast path.
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import flash_attention
+
+_BLOCK = 256
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    kv_valid: Optional[int] = None,
+) -> jnp.ndarray:
+    """Reference attention in plain XLA ops (fp32 softmax). [B, H, S, D]."""
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * sm_scale
+    if kv_valid is not None and kv_valid < k.shape[2]:
+        col = jnp.arange(k.shape[2])
+        s = jnp.where(col[None, None, None, :] < kv_valid, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    kv_valid: Optional[int] = None,
+    impl: str = "auto",
+    block_q: int = _BLOCK,
+    block_kv: int = _BLOCK,
+) -> jnp.ndarray:
+    """Attention over [B, H, S, D] with automatic pad-to-block for Pallas.
+
+    impl: 'auto' (Pallas on TPU, XLA otherwise), 'pallas', 'xla',
+          'pallas_interpret' (for CPU tests of the kernel).
+    """
+    if impl == "auto":
+        impl = "pallas" if _use_pallas() else "xla"
+    if impl == "xla":
+        return attention_xla(q, k, v, sm_scale=sm_scale, kv_valid=kv_valid)
+
+    interpret = impl == "pallas_interpret"
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    valid = skv if kv_valid is None else kv_valid
+
+    bq = min(block_q, _round_up(sq, 128))
+    bkv = min(block_kv, _round_up(skv, 128))
+    sq_p = _round_up(sq, bq)
+    skv_p = _round_up(skv, bkv)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    o = flash_attention(
+        q, k, v, sm_scale=sm_scale, kv_valid=valid,
+        block_q=bq, block_kv=bkv, interpret=interpret,
+    )
+    if sq_p != sq:
+        o = o[:, :, :sq]
+    return o
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def joint_attention(
+    q_txt: jnp.ndarray,
+    k_txt: jnp.ndarray,
+    v_txt: jnp.ndarray,
+    q_vid: jnp.ndarray,
+    k_vid: jnp.ndarray,
+    v_vid: jnp.ndarray,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    *,
+    text_valid: Optional[int] = None,
+    impl: str = "auto",
+):
+    """Fused text+video attention: concat (text first), RoPE on video q/k,
+    one attention pass, split back. All tensors [B, H, S, D].
+
+    Returns (out_txt, out_vid).
+    """
+    from .rope import apply_rotary_emb
+
+    if rope_cos is not None:
+        q_vid = apply_rotary_emb(q_vid, rope_cos, rope_sin)
+        k_vid = apply_rotary_emb(k_vid, rope_cos, rope_sin)
+
+    st = q_txt.shape[2]
+    q = jnp.concatenate([q_txt, q_vid], axis=2)
+    k = jnp.concatenate([k_txt, k_vid], axis=2)
+    v = jnp.concatenate([v_txt, v_vid], axis=2)
+
+    # Padded text tokens (beyond text_valid) are masked out of the kv side.
+    # Note: the reference runs this attention unmasked (block call passes no
+    # attention_mask); pass text_valid=None for strict parity.
+    kv_valid = None
+    if text_valid is not None and text_valid < st:
+        raise NotImplementedError(
+            "interior text masking requires segment ids; pad text embeddings "
+            "to zeros instead (reference does the same)."
+        )
+    o = attention(q, k, v, kv_valid=kv_valid, impl=impl)
+    return o[:, :, :st], o[:, :, st:]

@@ -1,0 +1,374 @@
+"""Pallas TPU flash attention (forward + backward) for the MMDiT joint
+text+video attention.
+
+This is the hot kernel of the framework: one fused attention over the
+concatenated (text, video) token sequence (reference behavior:
+easyanimate/models/processor.py:218-312 runs a single SDPA over the concat).
+RoPE is applied to the video slice *outside* the kernel (elementwise,
+XLA-fused into the QKV projections) so the kernel stays a pure attention.
+
+Design notes (TPU):
+  - online softmax, fp32 statistics, bf16 matmul inputs.
+  - grid (batch*heads, q_blocks, kv_blocks); kv is the innermost (sequential)
+    dimension so the VMEM accumulator carries across kv tiles.
+  - softmax stats live in (block_q, 128) lane-replicated VMEM scratch
+    (TPU min-tile layout); the logsumexp residual is stored compactly as
+    [bh, seq, 1] to avoid a 128x blow-up at 50k-token sequences.
+  - tail padding is handled with a *static* `kv_valid` length: sequences are
+    padded to a block multiple at trace time, so the mask is baked into the
+    kernel (no scalar plumbing). Query-side padding needs no mask: its
+    cotangents are zero when callers slice outputs (see backward note).
+  - backward = two kernels (dq; dkv) recomputing p from the saved
+    logsumexp, as in standard flash attention v2.
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+MIN_LANES = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _lane_broadcast(stat, width):
+    """Expand a lane-replicated stat (block_q, 1|128) to (block_q, width)."""
+    w = stat.shape[-1]
+    if w == width:
+        return stat
+    if w == 1:
+        return jnp.broadcast_to(stat, (*stat.shape[:-1], width))
+    if width < w:
+        return stat[:, :width]
+    reps, rem = divmod(width, w)
+    assert rem == 0, f"width {width} must divide into lanes of {w}"
+    return jnp.tile(stat, (1, reps))
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, sm_scale: float, kv_valid: int, block_kv: int, num_kv: int
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [block_q, d]
+    k = k_ref[0]  # [block_kv, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s *= sm_scale
+
+    if num_kv * block_kv > kv_valid:  # static: some tail tile has padding
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+        s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scr[:]                                  # [block_q, 128]
+    l_prev = l_scr[:]
+    m_curr = jnp.max(s, axis=1)[:, None]               # [block_q, 1]
+    m_next = jnp.maximum(m_prev, m_curr)               # [block_q, 128]
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
+    l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+    m_scr[:] = m_next
+    l_scr[:] = l_next
+
+    v = v_ref[0]
+    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    d = acc_scr.shape[-1]
+    acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
+
+    @pl.when(j == num_kv - 1)
+    def _store():
+        l = l_scr[:]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[:] * _lane_broadcast(l_inv, d)).astype(o_ref.dtype)
+        lse = m_scr[:] + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0] = lse[:, :1]  # [block_q, 1]
+
+
+def _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    nq, nkv = _cdiv(sq, block_q), _cdiv(skv, block_kv)
+    assert sq % block_q == 0 and skv % block_kv == 0, (sq, skv, block_q, block_kv)
+
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, kv_valid=kv_valid,
+        block_kv=block_kv, num_kv=nkv,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _recompute_p(q, k, lse, sm_scale, kv_block_idx, kv_valid, block_kv,
+                 need_mask):
+    """Recompute attention probabilities for one (q, kv) tile pair."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    if need_mask:  # static: some tail tile has padding
+        col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+               + kv_block_idx * block_kv)
+        s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+    return jnp.exp(s - _lane_broadcast(lse, s.shape[1])), s
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
+    *, sm_scale: float, kv_valid: int, block_kv: int, num_kv: int
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # [block_q, 1]
+    di = di_ref[0]    # [block_q, 1]
+
+    p, _ = _recompute_p(q, k, lse, sm_scale, j, kv_valid, block_kv,
+                        num_kv * block_kv > kv_valid)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - _lane_broadcast(di, p.shape[1])) * sm_scale
+    dq_scr[:] += jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == num_kv - 1)
+    def _store():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, sm_scale: float, kv_valid: int, block_kv: int, num_q: int
+):
+    i = pl.program_id(2)  # q block (innermost)
+    j = pl.program_id(1)  # kv block
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    di = di_ref[0]
+
+    need_mask = pl.num_programs(1) * block_kv > kv_valid
+    p, _ = _recompute_p(q, k, lse, sm_scale, j, kv_valid, block_kv, need_mask)
+    # dv += p^T @ do
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - _lane_broadcast(di, p.shape[1])) * sm_scale
+    # dk += ds^T @ q
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == num_q - 1)
+    def _store():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv,
+               interpret):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    nq, nkv = sq // block_q, skv // block_kv
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                 keepdims=True)  # [bh, sq, 1]
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, sm_scale=sm_scale, kv_valid=kv_valid,
+        block_kv=block_kv, num_kv=nkv,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, sm_scale=sm_scale, kv_valid=kv_valid,
+        block_kv=block_kv, num_q=nq,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, nkv, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret):
+    o, _ = _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret)
+    return o
+
+
+def _flash_attention_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret):
+    o, lse = _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_attention_bwd(sm_scale, kv_valid, block_q, block_kv, interpret,
+                         residuals, do):
+    q, k, v, o, lse = residuals
+    dq, dk, dv = _flash_bwd(
+        q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv, interpret
+    )
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    kv_valid: Optional[int] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bidirectional flash attention.
+
+    Args:
+      q, k, v: [batch, heads, seq, head_dim]. seq must be a multiple of the
+        block size (see `attention` in ops/attention.py for the padding
+        wrapper).
+      sm_scale: defaults to head_dim ** -0.5.
+      kv_valid: static count of valid kv tokens (tail beyond it is masked).
+      block_q/block_kv: tile sizes (multiples of 128).
+
+    Backward: query-side tail padding requires callers to not use padded
+    outputs (their cotangents are then structurally zero, which zeroes the
+    padded rows' dk/dv contributions).
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    if kv_valid is None:
+        kv_valid = skv
+    block_q = min(block_q, sq)
+    block_kv = min(block_kv, skv)
+
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, skv, d)
+    vf = v.reshape(b * h, skv, d)
+    of = _flash_attention(qf, kf, vf, sm_scale, kv_valid, block_q, block_kv,
+                          interpret)
+    return of.reshape(b, h, sq, d)
