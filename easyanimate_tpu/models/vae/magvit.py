@@ -1,0 +1,320 @@
+"""AutoencoderKLMagvit: the MagViT-v2-style 3D causal video VAE, TPU-native.
+
+Parity target: easyanimate/models/autoencoder_magvit.py:59-505 +
+easyanimate/vae/ldm/models/omnigen_enc_dec.py. The reference's stateful
+padding-flag protocol becomes functional chunk caches (see layers.py); the
+chunk loops (`cache_mag_vae`: frame 0 alone, then mini-batches,
+omnigen_enc_dec.py:283-291/:621-629) compile to a single `lax.scan` over
+equal-size chunks.
+
+Layout: public API is reference-compatible (B, C, T, H, W); everything
+internal is channels-last (B, T, H, W, C).
+"""
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .blocks import DownBlock3D, MidBlock3D, UpBlock3D, _sub
+from .layers import CausalConv3d, Conv1x1x1, GroupNorm
+
+_DOWN_KIND = {
+    "SpatialDownBlock3D": "spatial",
+    "TemporalDownBlock3D": "temporal",
+    "SpatialTemporalDownBlock3D": "spatial_temporal",
+    "DownBlock3D": None,
+}
+_UP_KIND = {
+    "SpatialUpBlock3D": "spatial",
+    "TemporalUpBlock3D": "temporal",
+    "SpatialTemporalUpBlock3D": "spatial_temporal",
+    "UpBlock3D": None,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MagvitVAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 16
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    down_block_types: Sequence[str] = (
+        "SpatialDownBlock3D",
+        "SpatialTemporalDownBlock3D",
+        "SpatialTemporalDownBlock3D",
+        "SpatialTemporalDownBlock3D",
+    )
+    up_block_types: Sequence[str] = (
+        "SpatialUpBlock3D",
+        "SpatialTemporalUpBlock3D",
+        "SpatialTemporalUpBlock3D",
+        "SpatialTemporalUpBlock3D",
+    )
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    mid_block_attention_type: str = "spatial"
+    mid_block_use_attention: bool = True
+    spatial_group_norm: bool = True
+    mini_batch_encoder: int = 4
+    mini_batch_decoder: int = 1
+    scaling_factor: float = 0.7119
+    # chunking mode: 'cache_mag' (V5/V5.1), 'slice_mag' (independent chunks),
+    # or 'none' (whole clip at once)
+    chunk_mode: str = "cache_mag"
+    # spatial tiling for large resolutions
+    tile_sample_min_size: int = 384
+    tile_overlap_factor: float = 0.25
+    dtype: str = "float32"
+
+    @property
+    def temporal_compression(self) -> int:
+        # the final down block carries no downsampler (reference
+        # is_final_block, omnigen_enc_dec.py:106-118)
+        return 2 ** sum(
+            1 for t in self.down_block_types[:-1] if "Temporal" in t
+        )
+
+    @property
+    def spatial_compression(self) -> int:
+        return 2 ** sum(
+            1 for t in self.down_block_types[:-1] if "Spatial" in t
+        )
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class Encoder(nn.Module):
+    cfg: MagvitVAEConfig
+
+    @nn.compact
+    def __call__(self, x, cache=None):
+        cfg = self.cfg
+        dt = cfg.jdtype
+        new_cache = {}
+        x, new_cache["conv_in"] = CausalConv3d(
+            cfg.block_out_channels[0], dtype=dt, name="conv_in"
+        )(x, _sub(cache, "conv_in"))
+        for i, block_type in enumerate(cfg.down_block_types):
+            is_final = i == len(cfg.block_out_channels) - 1
+            name = f"down{i}"
+            x, new_cache[name] = DownBlock3D(
+                cfg.block_out_channels[i],
+                num_layers=cfg.layers_per_block,
+                downsample=None if is_final else _DOWN_KIND[block_type],
+                norm_num_groups=cfg.norm_num_groups,
+                spatial_norm=cfg.spatial_group_norm,
+                dtype=dt,
+                name=name,
+            )(x, _sub(cache, name))
+        x, new_cache["mid"] = MidBlock3D(
+            num_layers=cfg.layers_per_block,
+            attention_type=(cfg.mid_block_attention_type
+                            if cfg.mid_block_use_attention else "none"),
+            norm_num_groups=cfg.norm_num_groups,
+            spatial_norm=cfg.spatial_group_norm,
+            dtype=dt,
+            name="mid",
+        )(x, _sub(cache, "mid"))
+        x = GroupNorm(cfg.norm_num_groups, 1e-6, cfg.spatial_group_norm,
+                      name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x, new_cache["conv_out"] = CausalConv3d(
+            2 * cfg.latent_channels, dtype=dt, name="conv_out"
+        )(x, _sub(cache, "conv_out"))
+        return x, new_cache
+
+
+class Decoder(nn.Module):
+    cfg: MagvitVAEConfig
+
+    @nn.compact
+    def __call__(self, z, cache=None):
+        cfg = self.cfg
+        dt = cfg.jdtype
+        new_cache = {}
+        rev = list(reversed(cfg.block_out_channels))
+        z, new_cache["conv_in"] = CausalConv3d(
+            rev[0], dtype=dt, name="conv_in"
+        )(z, _sub(cache, "conv_in"))
+        z, new_cache["mid"] = MidBlock3D(
+            num_layers=cfg.layers_per_block,
+            attention_type=(cfg.mid_block_attention_type
+                            if cfg.mid_block_use_attention else "none"),
+            norm_num_groups=cfg.norm_num_groups,
+            spatial_norm=cfg.spatial_group_norm,
+            dtype=dt,
+            name="mid",
+        )(z, _sub(cache, "mid"))
+        for i, block_type in enumerate(cfg.up_block_types):
+            is_final = i == len(cfg.block_out_channels) - 1
+            name = f"up{i}"
+            z, new_cache[name] = UpBlock3D(
+                rev[i],
+                num_layers=cfg.layers_per_block + 1,
+                upsample=None if is_final else _UP_KIND[block_type],
+                norm_num_groups=cfg.norm_num_groups,
+                spatial_norm=cfg.spatial_group_norm,
+                dtype=dt,
+                name=name,
+            )(z, _sub(cache, name))
+        z = GroupNorm(cfg.norm_num_groups, 1e-6, cfg.spatial_group_norm,
+                      name="conv_norm_out")(z)
+        z = nn.silu(z)
+        z, new_cache["conv_out"] = CausalConv3d(
+            cfg.out_channels, dtype=dt, name="conv_out"
+        )(z, _sub(cache, "conv_out"))
+        return z, new_cache
+
+
+class AutoencoderKLMagvit(nn.Module):
+    cfg: MagvitVAEConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg, name="encoder")
+        self.decoder = Decoder(self.cfg, name="decoder")
+        self.quant_conv = Conv1x1x1(2 * self.cfg.latent_channels,
+                                    dtype=self.cfg.jdtype, name="quant_conv")
+        self.post_quant_conv = Conv1x1x1(self.cfg.latent_channels,
+                                         dtype=self.cfg.jdtype,
+                                         name="post_quant_conv")
+
+    def encode_chunk(self, x, cache=None):
+        h, cache = self.encoder(x, cache)
+        return self.quant_conv(h), cache
+
+    def decode_chunk(self, z, cache=None):
+        z = self.post_quant_conv(z)
+        return self.decoder(z, cache)
+
+    def __call__(self, x):
+        """Single-shot encode->sample-mode->decode (init/training path)."""
+        moments, _ = self.encode_chunk(x)
+        mean, _ = jnp.split(moments, 2, axis=-1)
+        dec, _ = self.decode_chunk(mean)
+        return dec
+
+
+# ---------------------------------------------------------------------------
+# Chunked drivers (pure functions over params; scan over steady-state chunks)
+# ---------------------------------------------------------------------------
+
+
+def _chunked_apply(apply_fn, x, chunk: int):
+    """cache_mag protocol: frame 0 alone, then chunks of `chunk` frames,
+    threading the conv cache; steady-state chunks run under lax.scan."""
+    b = x.shape[0]
+    t = x.shape[1]
+    y0, cache = apply_fn(x[:, :1], None)
+    if t == 1:
+        return y0
+    rest = x[:, 1:]
+    n_full = (t - 1) // chunk
+    outs = [y0]
+    if n_full > 0:
+        body = rest[:, : n_full * chunk]
+        # (B, n, chunk, H, W, C) -> scan over n
+        chunks = body.reshape(b, n_full, chunk, *body.shape[2:])
+        chunks = jnp.moveaxis(chunks, 1, 0)
+
+        def step(c, xc):
+            y, c = apply_fn(xc, c)
+            return c, y
+
+        cache, ys = jax.lax.scan(step, cache, chunks)
+        # ys: (n, B, t_out, ...) -> (B, n * t_out, ...)
+        ys = jnp.moveaxis(ys, 0, 1)
+        outs.append(ys.reshape(b, -1, *ys.shape[3:]))
+    tail = (t - 1) % chunk
+    if tail:
+        y_tail, cache = apply_fn(rest[:, n_full * chunk:], cache)
+        outs.append(y_tail)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _slice_apply(apply_fn, x, chunk: int):
+    """slice_mag protocol: independent chunks, each replicate-padded."""
+    t = x.shape[1]
+    outs = []
+    for i in range(0, t, chunk):
+        y, _ = apply_fn(x[:, i: i + chunk], None)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=1)
+
+
+def vae_encode(vae: AutoencoderKLMagvit, params, video: jnp.ndarray,
+               channels_first: bool = True) -> jnp.ndarray:
+    """video -> latent distribution moments (mean, logvar concat on C).
+
+    video: (B, C, T, H, W) if channels_first else (B, T, H, W, C).
+    Returns moments in the same channel convention.
+    """
+    cfg = vae.cfg
+    if channels_first:
+        video = jnp.transpose(video, (0, 2, 3, 4, 1))
+    apply_fn = lambda x, c: vae.apply(params, x, c, method=vae.encode_chunk)
+    if cfg.chunk_mode == "cache_mag":
+        moments = _chunked_apply(apply_fn, video, cfg.mini_batch_encoder)
+    elif cfg.chunk_mode == "slice_mag":
+        moments = _slice_apply(apply_fn, video, cfg.mini_batch_encoder)
+    else:
+        moments, _ = apply_fn(video, None)
+    if channels_first:
+        moments = jnp.transpose(moments, (0, 4, 1, 2, 3))
+    return moments
+
+
+def vae_decode(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
+               channels_first: bool = True) -> jnp.ndarray:
+    """latents -> pixels in [-1, 1] (no scaling_factor handling here)."""
+    cfg = vae.cfg
+    if channels_first:
+        latents = jnp.transpose(latents, (0, 2, 3, 4, 1))
+    apply_fn = lambda z, c: vae.apply(params, z, c, method=vae.decode_chunk)
+    if cfg.chunk_mode == "cache_mag":
+        video = _chunked_apply(apply_fn, latents, cfg.mini_batch_decoder)
+    elif cfg.chunk_mode == "slice_mag":
+        video = _slice_apply(apply_fn, latents, cfg.mini_batch_decoder)
+    else:
+        video, _ = apply_fn(latents, None)
+    if channels_first:
+        video = jnp.transpose(video, (0, 4, 1, 2, 3))
+    return video
+
+
+# ---------------------------------------------------------------------------
+# Diagonal Gaussian
+# ---------------------------------------------------------------------------
+
+
+def gaussian_sample(moments: jnp.ndarray, rng: jax.Array,
+                    axis: int = -1) -> jnp.ndarray:
+    mean, logvar = jnp.split(moments, 2, axis=axis)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+
+
+def gaussian_mode(moments: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    mean, _ = jnp.split(moments, 2, axis=axis)
+    return mean
+
+
+def gaussian_kl(moments: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """KL(q || N(0, I)) per sample, summed over non-batch dims."""
+    mean, logvar = jnp.split(moments, 2, axis=axis)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    var = jnp.exp(logvar)
+    kl = 0.5 * (jnp.square(mean) + var - 1.0 - logvar)
+    return jnp.sum(kl, axis=tuple(range(1, kl.ndim)))
+
+
+def latent_frame_count(pixel_frames: int, cfg: MagvitVAEConfig) -> int:
+    """Reference frame remap: (f-1)//mini_batch_encoder*mini_batch_decoder+1
+    (pipeline_easyanimate.py:677-688)."""
+    if cfg.chunk_mode == "cache_mag":
+        return (pixel_frames - 1) // cfg.mini_batch_encoder * cfg.mini_batch_decoder + 1
+    return pixel_frames // cfg.temporal_compression

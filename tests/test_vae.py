@@ -1,0 +1,139 @@
+"""MagViT VAE tests: causal-conv golden parity vs torch, chunk-cache
+equivalence (the functional replacement for the reference's padding-flag
+protocol), and encode/decode shape/roundtrip checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from easyanimate_tpu.models.vae import (
+    AutoencoderKLMagvit,
+    MagvitVAEConfig,
+    latent_frame_count,
+    vae_decode,
+    vae_encode,
+)
+from easyanimate_tpu.models.vae.layers import CausalConv3d
+
+TINY = MagvitVAEConfig(
+    latent_channels=4,
+    block_out_channels=(8, 16),
+    down_block_types=("SpatialTemporalDownBlock3D", "SpatialDownBlock3D"),
+    up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+    mini_batch_encoder=2,
+    mini_batch_decoder=1,
+    spatial_group_norm=True,
+)
+
+
+def _torch_causal_conv(x_np, k_np, b_np, stride, spad):
+    """x: (B,T,H,W,C) numpy; k: (T,H,W,I,O). Returns (B,T,H,W,C)."""
+    x = torch.from_numpy(x_np).permute(0, 4, 1, 2, 3)  # BCTHW
+    w = torch.from_numpy(k_np).permute(4, 3, 0, 1, 2)  # OITHW
+    t_pad = k_np.shape[0] - 1
+    (pt, pb), (pl, pr) = spad
+    x = F.pad(x, (pl, pr, pt, pb, 0, 0))
+    x = F.pad(x, (0, 0, 0, 0, t_pad, 0), mode="replicate")
+    y = F.conv3d(x, w, torch.from_numpy(b_np), stride=stride)
+    return y.permute(0, 2, 3, 4, 1).numpy()
+
+
+@pytest.mark.parametrize("stride,spad", [
+    ((1, 1, 1), ((1, 1), (1, 1))),
+    ((2, 2, 2), ((0, 1), (0, 1))),
+    ((2, 1, 1), ((1, 1), (1, 1))),
+])
+def test_causal_conv3d_matches_torch(rng, stride, spad):
+    b, t, h, w, ci, co = 1, 9, 8, 8, 3, 5
+    x = rng.standard_normal((b, t, h, w, ci)).astype(np.float32)
+    conv = CausalConv3d(co, (3, 3, 3), stride, spad)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y, _ = conv.apply(params, jnp.asarray(x))
+    k = np.asarray(params["params"]["kernel"])
+    bias = np.asarray(params["params"]["bias"])
+    want = _torch_causal_conv(x, k, bias, stride, spad)
+    np.testing.assert_allclose(np.asarray(y), want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("stride", [(1, 1, 1), (2, 1, 1)])
+def test_causal_conv3d_chunked_equals_full(rng, stride):
+    """Chunked evaluation with the cache must reproduce full-sequence
+    evaluation exactly (the core property replacing reference flags 3/4)."""
+    b, t, h, w, c = 1, 9, 4, 4, 3
+    x = rng.standard_normal((b, t, h, w, c)).astype(np.float32)
+    conv = CausalConv3d(6, (3, 3, 3), stride)
+    params = conv.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    full, _ = conv.apply(params, jnp.asarray(x))
+
+    # chunks: [1, 4, 4] like cache_mag_vae
+    outs, cache = [], None
+    for sl in [slice(0, 1), slice(1, 5), slice(5, 9)]:
+        y, cache = conv.apply(params, jnp.asarray(x[:, sl]), cache)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(full), atol=1e-5, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    vae = AutoencoderKLMagvit(TINY)
+    x = jnp.zeros((1, 1, 16, 16, 3))
+    params = vae.init(jax.random.PRNGKey(0), x)
+    return vae, params
+
+
+def test_encode_shapes_and_frame_remap(tiny_vae, rng):
+    vae, params = tiny_vae
+    t = 9
+    video = jnp.asarray(rng.standard_normal((1, 3, t, 16, 16)).astype(np.float32))
+    moments = vae_encode(vae, params, video)
+    lt = latent_frame_count(t, TINY)
+    assert lt == (t - 1) // 2 + 1 == 5
+    assert moments.shape == (1, 2 * TINY.latent_channels, lt, 8, 8)
+    assert np.isfinite(np.asarray(moments)).all()
+
+
+def test_encode_chunked_equals_full(tiny_vae, rng):
+    """With spatial_group_norm + spatial mid attention (the V5.1 setup),
+    chunked cache_mag encoding equals whole-clip encoding."""
+    vae, params = tiny_vae
+    video = jnp.asarray(rng.standard_normal((1, 3, 9, 16, 16)).astype(np.float32))
+    chunked = vae_encode(vae, params, video)
+    import dataclasses
+    full_cfg = dataclasses.replace(TINY, chunk_mode="none")
+    vae_full = AutoencoderKLMagvit(full_cfg)
+    full = vae_encode(vae_full, params, video)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_decode_chunked_equals_full(tiny_vae, rng):
+    vae, params = tiny_vae
+    z = jnp.asarray(rng.standard_normal((1, 4, 3, 8, 8)).astype(np.float32))
+    chunked = vae_decode(vae, params, z)
+    import dataclasses
+    full_cfg = dataclasses.replace(TINY, chunk_mode="none")
+    vae_full = AutoencoderKLMagvit(full_cfg)
+    full = vae_decode(vae_full, params, z)
+    assert chunked.shape == full.shape == (1, 3, 5, 16, 16)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_roundtrip_jit_and_finite(tiny_vae, rng):
+    vae, params = tiny_vae
+    video = jnp.asarray(rng.standard_normal((1, 3, 5, 16, 16)).astype(np.float32))
+
+    @jax.jit
+    def roundtrip(v):
+        m = vae_encode(vae, params, v)
+        mean = m[:, : TINY.latent_channels]
+        return vae_decode(vae, params, mean)
+
+    out = roundtrip(video)
+    assert out.shape == video.shape
+    assert np.isfinite(np.asarray(out)).all()
