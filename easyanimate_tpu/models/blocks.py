@@ -1,0 +1,171 @@
+"""Dual-stream MMDiT transformer blocks (EasyAnimate V5/V5.1 style).
+
+Parity targets:
+  EasyAnimateLayerNormZero     reference norm.py:135-166 (shared fp32 LN,
+                               per-stream (shift, scale, gate) from SiLU+Linear
+                               of temb, chunk order: shift, scale, gate,
+                               enc_shift, enc_scale, enc_gate)
+  EasyAnimateDiTBlock          reference attention.py:1027-1163
+  EasyAnimateAttnProcessor2_0  reference processor.py:218-312 (per-stream QKV,
+                               per-head LN qk-norm eps 1e-6, text-first concat,
+                               RoPE on the video slice, one fused attention,
+                               per-stream output projections)
+"""
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import attention as attention_op
+from ..ops.norms import fp32_layer_norm
+from ..ops.rope import apply_rotary_emb
+
+
+class LayerNormZero(nn.Module):
+    """AdaLN-zero over two streams with a shared LayerNorm."""
+
+    dim: int
+    norm_eps: float = 1e-5
+    elementwise_affine: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vid, txt, temb):
+        mods = nn.Dense(6 * self.dim, dtype=self.dtype, name="linear")(
+            nn.silu(temb)
+        )
+        (shift, scale, gate, e_shift, e_scale, e_gate) = jnp.split(mods, 6, axis=-1)
+        if self.elementwise_affine:
+            w = self.param("norm_scale", nn.initializers.ones, (self.dim,), jnp.float32)
+            b = self.param("norm_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        else:
+            w = b = None
+        norm = lambda x: fp32_layer_norm(x, w, b, self.norm_eps)
+        vid = norm(vid) * (1 + scale[:, None]) + shift[:, None]
+        txt = norm(txt) * (1 + e_scale[:, None]) + e_shift[:, None]
+        return vid, txt, gate[:, None], e_gate[:, None]
+
+
+class StreamQKV(nn.Module):
+    """QKV projections + per-head LN qk-norm for one stream."""
+
+    num_heads: int
+    head_dim: int
+    qk_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, _ = x.shape
+        inner = self.num_heads * self.head_dim
+        heads = lambda a: a.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+        q = heads(nn.Dense(inner, dtype=self.dtype, name="to_q")(x))
+        k = heads(nn.Dense(inner, dtype=self.dtype, name="to_k")(x))
+        v = heads(nn.Dense(inner, dtype=self.dtype, name="to_v")(x))
+        if self.qk_norm:
+            qw = self.param("norm_q_scale", nn.initializers.ones, (self.head_dim,), jnp.float32)
+            qb = self.param("norm_q_bias", nn.initializers.zeros, (self.head_dim,), jnp.float32)
+            kw = self.param("norm_k_scale", nn.initializers.ones, (self.head_dim,), jnp.float32)
+            kb = self.param("norm_k_bias", nn.initializers.zeros, (self.head_dim,), jnp.float32)
+            q = fp32_layer_norm(q, qw, qb, 1e-6)
+            k = fp32_layer_norm(k, kw, kb, 1e-6)
+        return q, k, v
+
+
+class FeedForward(nn.Module):
+    """gelu-approximate MLP (diffusers FeedForward with 4x inner dim)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.mult, dtype=self.dtype, name="wi")(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(self.dim, dtype=self.dtype, name="wo")(h)
+
+
+class MMDiTBlock(nn.Module):
+    """EasyAnimateDiTBlock: joint attention + per-stream FFN with AdaLN-zero.
+
+    is_mmdit=True gives the text stream its own QKV/out/FFN parameters;
+    False shares the video-stream parameters over the concatenated sequence
+    (reference attn2=None branch).
+    """
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    qk_norm: bool = True
+    after_norm: bool = False
+    is_mmdit: bool = True
+    norm_eps: float = 1e-6
+    attn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vid, txt, temb, rope: Optional[Tuple] = None):
+        b, sv, _ = vid.shape
+        st = txt.shape[1]
+
+        n_vid, n_txt, gate, e_gate = LayerNormZero(
+            self.dim, self.norm_eps, dtype=self.dtype, name="norm1"
+        )(vid, txt, temb)
+
+        vid_qkv = StreamQKV(self.num_heads, self.head_dim, self.qk_norm,
+                            dtype=self.dtype, name="attn1")
+        if self.is_mmdit:
+            txt_qkv = StreamQKV(self.num_heads, self.head_dim, self.qk_norm,
+                                dtype=self.dtype, name="attn2")
+            qv, kv, vv = vid_qkv(n_vid)
+            qt, kt, vt = txt_qkv(n_txt)
+        else:
+            joint = jnp.concatenate([n_txt, n_vid], axis=1)
+            qj, kj, vj = vid_qkv(joint)
+            qt, qv = qj[:, :, :st], qj[:, :, st:]
+            kt, kv = kj[:, :, :st], kj[:, :, st:]
+            vt, vv = vj[:, :, :st], vj[:, :, st:]
+
+        if rope is not None:
+            cos, sin = rope
+            qv = apply_rotary_emb(qv, cos, sin)
+            kv = apply_rotary_emb(kv, cos, sin)
+
+        q = jnp.concatenate([qt, qv], axis=2)
+        k = jnp.concatenate([kt, kv], axis=2)
+        v = jnp.concatenate([vt, vv], axis=2)
+        o = attention_op(q, k, v, impl=self.attn_impl)
+        o = o.transpose(0, 2, 1, 3).reshape(b, st + sv, self.num_heads * self.head_dim)
+        o_txt, o_vid = o[:, :st], o[:, st:]
+
+        out_proj = nn.Dense(self.dim, dtype=self.dtype, name="attn1_out")
+        o_vid = out_proj(o_vid)
+        if self.is_mmdit:
+            o_txt = nn.Dense(self.dim, dtype=self.dtype, name="attn2_out")(o_txt)
+        else:
+            o_txt = out_proj(o_txt)  # shared projection, same as proj(concat)
+
+        vid = vid + gate * o_vid
+        txt = txt + e_gate * o_txt
+
+        n_vid, n_txt, gate2, e_gate2 = LayerNormZero(
+            self.dim, self.norm_eps, dtype=self.dtype, name="norm2"
+        )(vid, txt, temb)
+
+        ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
+        f_vid = ff(n_vid)
+        if self.is_mmdit:
+            f_txt = FeedForward(self.dim, dtype=self.dtype, name="txt_ff")(n_txt)
+        else:
+            f_txt = ff(n_txt)
+
+        if self.after_norm:
+            w3 = self.param("norm3_scale", nn.initializers.ones, (self.dim,), jnp.float32)
+            b3 = self.param("norm3_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+            f_vid = fp32_layer_norm(f_vid, w3, b3, self.norm_eps)
+            f_txt = fp32_layer_norm(f_txt, w3, b3, self.norm_eps)
+
+        vid = vid + gate2 * f_vid
+        txt = txt + e_gate2 * f_txt
+        return vid, txt

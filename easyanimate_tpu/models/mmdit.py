@@ -1,0 +1,239 @@
+"""EasyAnimateTransformer3D: the flagship MMDiT video denoiser (V5/V5.1).
+
+Parity target: reference transformer3d.py:1347-1689. Forward spine:
+  time sinusoid (inner_dim) -> 2-layer MLP -> temb           (:1519-1520)
+  channel-concat of inpaint/control latents                  (:1523-1526)
+  per-frame Conv2d patchify -> (t,h,w) row-major tokens      (:1528-1531)
+  text_proj (+ optional t5 branch, optional pre-RMSNorm)     (:1533-1536)
+  optional ref/clip conditioning branches                    (:1538-1561)
+  N x dual-stream MMDiT blocks with 3D RoPE on video slice
+  final LayerNorm over concat(text, video), slice video      (:1673-1675)
+  AdaLayerNorm (shift/scale from temb) -> proj_out -> unpatchify (:1678-1685)
+
+TPU design: layers are homogeneous for V5.1, so the block stack compiles as
+one `nn.scan` over stacked parameters (single compilation of the layer body,
+optionally rematerialized). RoPE tables are passed in as host-built
+constants (ops/rope.py).
+"""
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.norms import fp32_layer_norm, fp32_rms_norm
+from .blocks import MMDiTBlock
+from .embeddings import (
+    PatchEmbed2D,
+    TimestepEmbedding,
+    sinusoidal_timestep_embedding,
+    unpatchify,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    num_attention_heads: int = 48
+    attention_head_dim: int = 64
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: int = 2
+    num_layers: int = 48
+    mmdit_layers: int = 10000  # layers >= this index share stream params
+    swa_layers: Optional[Sequence[int]] = None
+    time_embed_dim: int = 512
+    text_embed_dim: int = 3584        # Qwen2-VL hidden size (V5.1)
+    text_embed_dim_t5: Optional[int] = None
+    add_norm_text_encoder: bool = False
+    after_norm: bool = False
+    norm_eps: float = 1e-5
+    time_position_encoding_type: str = "3d_rope"
+    qk_norm: bool = True
+    # extra conditioning channels (control/ref models)
+    ref_channels: Optional[int] = None
+    clip_channels: Optional[int] = None
+    add_ref_latent_in_control_model: bool = False
+    resize_inpaint_mask_directly: bool = True
+    # TPU options
+    scan_layers: bool = True
+    remat: bool = True
+    attn_impl: str = "auto"
+    dtype: str = "bfloat16"
+    # RoPE base grid (pipeline_easyanimate.py:1002-1006)
+    rope_base_height: int = 480
+    rope_base_width: int = 720
+    vae_scale_factor: int = 8
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+PRESETS: Dict[str, MMDiTConfig] = {
+    # Flagship: ~11.6B dual-stream parameters (marketing "12B").
+    "v5.1-12b": MMDiTConfig(),
+    "v5.1-12b-inpaint": MMDiTConfig(in_channels=16 + 1 + 16),
+    "v5.1-7b": MMDiTConfig(num_attention_heads=40, num_layers=40),
+    # tiny config for tests / CI
+    "tiny": MMDiTConfig(
+        num_attention_heads=2, attention_head_dim=16, in_channels=4,
+        out_channels=4, num_layers=2, time_embed_dim=32, text_embed_dim=24,
+        dtype="float32",
+    ),
+}
+
+
+class EasyAnimateTransformer3D(nn.Module):
+    cfg: MMDiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,            # (B, C, T, H, W) latents
+        timestep: jnp.ndarray,                 # (B,)
+        encoder_hidden_states: jnp.ndarray,    # (B, S_txt, text_embed_dim)
+        rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        encoder_hidden_states_t5: Optional[jnp.ndarray] = None,
+        inpaint_latents: Optional[jnp.ndarray] = None,
+        control_latents: Optional[jnp.ndarray] = None,
+        ref_latents: Optional[jnp.ndarray] = None,
+        clip_encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        dt = cfg.jdtype
+        b, c, t, hh, ww = hidden_states.shape
+        p = cfg.patch_size
+
+        # 1. time embedding
+        temb = sinusoidal_timestep_embedding(timestep, cfg.inner_dim)
+        temb = TimestepEmbedding(cfg.time_embed_dim, dtype=dt,
+                                 name="time_embedding")(temb.astype(dt))
+
+        # 2. channel-concat conditioning + patchify
+        if inpaint_latents is not None:
+            hidden_states = jnp.concatenate([hidden_states, inpaint_latents], axis=1)
+        if control_latents is not None:
+            hidden_states = jnp.concatenate([hidden_states, control_latents], axis=1)
+        x = jnp.transpose(hidden_states, (0, 2, 3, 4, 1)).astype(dt)  # BTHWC
+        vid = PatchEmbed2D(cfg.inner_dim, p, dtype=dt, name="proj")(x)
+
+        # 3. text projection (+ optional T5 second stream concat)
+        txt_in = encoder_hidden_states.astype(dt)
+        if cfg.add_norm_text_encoder:
+            w = self.param("text_norm_scale", nn.initializers.ones,
+                           (cfg.text_embed_dim,), jnp.float32)
+            txt_in = fp32_rms_norm(txt_in, w)
+        txt = nn.Dense(cfg.inner_dim, dtype=dt, name="text_proj")(txt_in)
+        if encoder_hidden_states_t5 is not None:
+            t5 = encoder_hidden_states_t5.astype(dt)
+            if cfg.add_norm_text_encoder:
+                w5 = self.param("text_norm_t5_scale", nn.initializers.ones,
+                                (cfg.text_embed_dim_t5,), jnp.float32)
+                t5 = fp32_rms_norm(t5, w5)
+            t5 = nn.Dense(cfg.inner_dim, dtype=dt, name="text_proj_t5")(t5)
+            txt = jnp.concatenate([txt, t5], axis=1)
+
+        # 3b. reference-image / CLIP branches (control & I2V models)
+        if ref_latents is not None:
+            rb, rc, rt, rh, rw = ref_latents.shape
+            ref = jnp.transpose(ref_latents, (0, 2, 3, 4, 1)).astype(dt)
+            ref = PatchEmbed2D(cfg.inner_dim, p, dtype=dt, name="ref_proj")(ref)
+            pos = _sincos_2d(cfg.inner_dim, rh // p, rw // p)
+            ref = ref + jnp.asarray(pos, dt)[None]
+            txt = ref
+        if clip_encoder_hidden_states is not None:
+            clip = nn.Dense(cfg.inner_dim, dtype=dt, name="clip_proj")(
+                clip_encoder_hidden_states.astype(dt))
+            txt = jnp.concatenate([clip, txt], axis=1)
+
+        # 4. block stack
+        homogeneous = (
+            cfg.mmdit_layers >= cfg.num_layers and not cfg.swa_layers
+        )
+        block_kwargs = dict(
+            dim=cfg.inner_dim, num_heads=cfg.num_attention_heads,
+            head_dim=cfg.attention_head_dim, qk_norm=cfg.qk_norm,
+            after_norm=cfg.after_norm, attn_impl=cfg.attn_impl, dtype=dt,
+        )
+        if cfg.scan_layers and homogeneous:
+            block_cls = _ScanBlock
+            if cfg.remat:
+                block_cls = nn.remat(block_cls, prevent_cse=False)
+            stack = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+            )(block_kwargs=block_kwargs, name="blocks")
+            (vid, txt), _ = stack((vid, txt), temb, rope)
+        else:
+            for i in range(cfg.num_layers):
+                is_mmdit = i < cfg.mmdit_layers
+                block = MMDiTBlock(**block_kwargs, is_mmdit=is_mmdit,
+                                   name=f"block{i}")
+                if cfg.remat:
+                    vid, txt = nn.remat(
+                        lambda m, *a: m(*a), prevent_cse=False
+                    )(block, vid, txt, temb, rope)
+                else:
+                    vid, txt = block(vid, txt, temb, rope)
+
+        # 5. final norm over concat, keep the video slice
+        st = txt.shape[1]
+        joint = jnp.concatenate([txt, vid], axis=1)
+        wf = self.param("norm_final_scale", nn.initializers.ones,
+                        (cfg.inner_dim,), jnp.float32)
+        bf = self.param("norm_final_bias", nn.initializers.zeros,
+                        (cfg.inner_dim,), jnp.float32)
+        vid = fp32_layer_norm(joint, wf, bf, cfg.norm_eps)[:, st:]
+
+        # 6. AdaLayerNorm out (shift first, diffusers chunk_dim=1 order)
+        mods = nn.Dense(2 * cfg.inner_dim, dtype=dt, name="norm_out")(
+            nn.silu(temb))
+        shift, scale = jnp.split(mods, 2, axis=-1)
+        wo = self.param("norm_out_scale", nn.initializers.ones,
+                        (cfg.inner_dim,), jnp.float32)
+        bo = self.param("norm_out_bias", nn.initializers.zeros,
+                        (cfg.inner_dim,), jnp.float32)
+        vid = fp32_layer_norm(vid, wo, bo, cfg.norm_eps)
+        vid = vid * (1 + scale[:, None]) + shift[:, None]
+        vid = nn.Dense(p * p * cfg.out_channels, dtype=dt, name="proj_out")(vid)
+
+        return unpatchify(vid, t, hh // p, ww // p, p, cfg.out_channels)
+
+
+class _ScanBlock(nn.Module):
+    """Carry-signature adapter so the homogeneous block stack compiles as a
+    single nn.scan layer body (one compilation for all num_layers)."""
+
+    block_kwargs: Any
+
+    @nn.compact
+    def __call__(self, carry, temb, rope):
+        vid, txt = carry
+        vid, txt = MMDiTBlock(**self.block_kwargs, is_mmdit=True,
+                              name="block")(vid, txt, temb, rope)
+        return (vid, txt), None
+
+
+def _sincos_2d(dim: int, h: int, w: int):
+    """2D sin-cos position table (diffusers get_2d_sincos_pos_embed)."""
+    import numpy as np
+
+    def one_axis(d, pos):
+        omega = 1.0 / (10000.0 ** (np.arange(d // 2, dtype=np.float64) / (d / 2.0)))
+        out = np.einsum("m,d->md", pos, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    gh = np.arange(h, dtype=np.float32)
+    gw = np.arange(w, dtype=np.float32)
+    grid = np.meshgrid(gw, gh)  # w goes first
+    grid = np.stack(grid, axis=0).reshape(2, -1)
+    emb_w = one_axis(dim // 2, grid[0])
+    emb_h = one_axis(dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)

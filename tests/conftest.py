@@ -1,9 +1,16 @@
 """Test harness: force an 8-device CPU mesh so multi-chip sharding logic is
-exercised without TPU hardware (SURVEY.md §4 test strategy)."""
+exercised without TPU hardware (SURVEY.md §4 test strategy).
+
+Note: this sandbox force-registers the tunneled 'axon' TPU backend through a
+sitecustomize hook and presets JAX_PLATFORMS=axon; the env var cannot be
+overridden from here. `jax.config.update('jax_platforms', ...)` after import
+is the supported escape hatch — it keeps tests off the (single, shared,
+sometimes-busy) TPU tunnel.
+"""
 import os
 
-# Must run before jax initializes its backend.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS is read at first backend initialization, which happens after this
+# module runs, so setting it here is still effective.
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +19,7 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
