@@ -1,0 +1,173 @@
+"""Diffusion samplers as scan-compatible pure functions.
+
+The denoise loop compiles into a single `lax.scan` (BASELINE.json north
+star), so schedulers here are (host-side schedule construction) + (jittable
+step). Parity targets:
+  - FlowMatchEulerDiscreteScheduler (diffusers) as used by V5.1
+    (pipeline_easyanimate.py:971-974 passes mu=1 -> dynamic shifting).
+  - DDIMScheduler for V1-V5 DDPM-trained checkpoints, including the
+    learned-sigma channel-chunk convention (pipeline_easyanimate.py:1098).
+"""
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Flow matching (Euler)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowMatchEulerConfig:
+    num_train_timesteps: int = 1000
+    shift: float = 3.0
+    use_dynamic_shifting: bool = True
+
+
+def flow_match_schedule(
+    cfg: FlowMatchEulerConfig,
+    num_inference_steps: int,
+    mu: Optional[float] = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (timesteps [N], sigmas [N+1]) as fp32 numpy."""
+    n = cfg.num_train_timesteps
+    # base sigmas: t/N for t in linspace(N, 1)
+    t = np.linspace(
+        _flow_sigma_to_t(1.0, n), _flow_sigma_to_t(1.0 / n, n),
+        num_inference_steps, dtype=np.float64,
+    )
+    sigmas = t / n
+    if cfg.use_dynamic_shifting:
+        if mu is None:
+            raise ValueError("dynamic shifting needs mu")
+        sigmas = math.exp(mu) / (math.exp(mu) + (1.0 / sigmas - 1.0))
+    else:
+        sigmas = cfg.shift * sigmas / (1 + (cfg.shift - 1) * sigmas)
+    timesteps = (sigmas * n).astype(np.float32)
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+    return timesteps, sigmas
+
+
+def _flow_sigma_to_t(sigma, n):
+    return sigma * n
+
+
+def flow_match_step(sample: jnp.ndarray, model_output: jnp.ndarray,
+                    sigma: jnp.ndarray, sigma_next: jnp.ndarray) -> jnp.ndarray:
+    """x_{t-1} = x_t + (sigma_next - sigma) * v  (Euler, fp32 update)."""
+    out = sample.astype(jnp.float32) + (
+        (sigma_next - sigma) * model_output.astype(jnp.float32))
+    return out.astype(sample.dtype)
+
+
+def flow_match_add_noise(clean: jnp.ndarray, noise: jnp.ndarray,
+                         sigma: jnp.ndarray) -> jnp.ndarray:
+    """Training/img2img noising: x_t = (1-sigma) x0 + sigma eps
+    (train.py:2032-2038)."""
+    sigma = jnp.asarray(sigma, jnp.float32)
+    while sigma.ndim < clean.ndim:
+        sigma = sigma[..., None]
+    out = (1.0 - sigma) * clean.astype(jnp.float32) + sigma * noise.astype(jnp.float32)
+    return out.astype(clean.dtype)
+
+
+# ---------------------------------------------------------------------------
+# DDPM / DDIM (IDDPM beta schedules, utils/gaussian_diffusion.py parity)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.0001
+    beta_end: float = 0.02
+    beta_schedule: str = "scaled_linear"  # 'linear' | 'scaled_linear' | 'squaredcos_cap_v2'
+    prediction_type: str = "epsilon"       # 'epsilon' | 'v_prediction' | 'sample'
+    clip_sample: bool = False
+    set_alpha_to_one: bool = True
+    steps_offset: int = 0
+    timestep_spacing: str = "leading"
+
+
+def make_betas(cfg: DDIMConfig) -> np.ndarray:
+    n = cfg.num_train_timesteps
+    if cfg.beta_schedule == "linear":
+        return np.linspace(cfg.beta_start, cfg.beta_end, n, dtype=np.float64)
+    if cfg.beta_schedule == "scaled_linear":
+        return np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5, n,
+                           dtype=np.float64) ** 2
+    if cfg.beta_schedule == "squaredcos_cap_v2":
+        def alpha_bar(t):
+            return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+        betas = [min(1 - alpha_bar((i + 1) / n) / alpha_bar(i / n), 0.999)
+                 for i in range(n)]
+        return np.array(betas, dtype=np.float64)
+    raise ValueError(cfg.beta_schedule)
+
+
+def ddim_schedule(cfg: DDIMConfig, num_inference_steps: int):
+    """Returns (timesteps [N] int32 desc, alphas_cumprod [T], final_alpha)."""
+    n = cfg.num_train_timesteps
+    if cfg.timestep_spacing == "leading":
+        step_ratio = n // num_inference_steps
+        timesteps = (np.arange(num_inference_steps) * step_ratio).round()[::-1]
+        timesteps = timesteps + cfg.steps_offset
+    elif cfg.timestep_spacing == "linspace":
+        timesteps = np.linspace(0, n - 1, num_inference_steps).round()[::-1]
+    elif cfg.timestep_spacing == "trailing":
+        step_ratio = n / num_inference_steps
+        timesteps = np.round(np.arange(n, 0, -step_ratio)).astype(np.int64) - 1
+    else:
+        raise ValueError(cfg.timestep_spacing)
+    betas = make_betas(cfg)
+    alphas_cumprod = np.cumprod(1.0 - betas).astype(np.float32)
+    final_alpha = np.float32(1.0) if cfg.set_alpha_to_one else alphas_cumprod[0]
+    return timesteps.astype(np.int32), alphas_cumprod, final_alpha
+
+
+def ddim_step(cfg: DDIMConfig, sample, model_output, t, t_prev,
+              alphas_cumprod, final_alpha, eta: float = 0.0):
+    """Deterministic DDIM step (eta=0). All math fp32."""
+    x = sample.astype(jnp.float32)
+    eps = model_output.astype(jnp.float32)
+    a_t = alphas_cumprod[t]
+    a_prev = jnp.where(t_prev >= 0, alphas_cumprod[jnp.maximum(t_prev, 0)],
+                       final_alpha)
+    b_t = 1.0 - a_t
+    if cfg.prediction_type == "epsilon":
+        x0 = (x - jnp.sqrt(b_t) * eps) / jnp.sqrt(a_t)
+        eps_pred = eps
+    elif cfg.prediction_type == "v_prediction":
+        x0 = jnp.sqrt(a_t) * x - jnp.sqrt(b_t) * eps
+        eps_pred = jnp.sqrt(a_t) * eps + jnp.sqrt(b_t) * x
+    elif cfg.prediction_type == "sample":
+        x0 = eps
+        eps_pred = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(b_t)
+    else:
+        raise ValueError(cfg.prediction_type)
+    if cfg.clip_sample:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+    dir_xt = jnp.sqrt(1.0 - a_prev) * eps_pred
+    prev = jnp.sqrt(a_prev) * x0 + dir_xt
+    return prev.astype(sample.dtype)
+
+
+def ddim_add_noise(clean, noise, t, alphas_cumprod):
+    a = alphas_cumprod[t].astype(jnp.float32)
+    while a.ndim < clean.ndim:
+        a = a[..., None]
+    out = jnp.sqrt(a) * clean.astype(jnp.float32) + jnp.sqrt(1 - a) * noise.astype(jnp.float32)
+    return out.astype(clean.dtype)
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
+    """CFG rescale, arXiv:2305.08891 §3.4 (pipeline_easyanimate.py:101-112)."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1 - guidance_rescale) * noise_cfg

@@ -1,0 +1,222 @@
+"""Text-to-video pipeline: the full denoise loop compiled as one lax.scan.
+
+Parity target: EasyAnimatePipeline.__call__ (pipeline_easyanimate.py:769-1149):
+  prompt embeds (+ negative) -> CFG batch -> prepare latents (frame remap)
+  -> 3D RoPE grid from the 720x480 base -> N denoise steps -> VAE decode.
+
+TPU design: the reference steps the python loop once per denoise iteration
+with xm.mark_step (pipeline_easyanimate.py:1130); here the entire loop is a
+single compiled program (scan over steps), and the VAE decode is a separate
+jit so it can run off the critical path / be dispatched asynchronously.
+"""
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mmdit import EasyAnimateTransformer3D, MMDiTConfig
+from ..models.vae import (
+    AutoencoderKLMagvit,
+    MagvitVAEConfig,
+    latent_frame_count,
+    vae_decode,
+)
+from ..ops.rope import (
+    get_2d_rotary_pos_embed,
+    get_3d_rotary_pos_embed,
+    get_resize_crop_region_for_grid,
+)
+from .schedulers import (
+    DDIMConfig,
+    FlowMatchEulerConfig,
+    ddim_schedule,
+    ddim_step,
+    flow_match_schedule,
+    flow_match_step,
+    rescale_noise_cfg,
+)
+
+
+def build_rope(cfg: MMDiTConfig, height: int, width: int, latent_frames: int,
+               vae_scale: Optional[int] = None):
+    """RoPE tables for a (height, width, frames) generation
+    (pipeline_easyanimate.py:998-1019)."""
+    s = (vae_scale or cfg.vae_scale_factor) * cfg.patch_size
+    gh, gw = height // s, width // s
+    if cfg.time_position_encoding_type == "3d_rope":
+        base_w = cfg.rope_base_width // s
+        base_h = cfg.rope_base_height // s
+        crop = get_resize_crop_region_for_grid((gh, gw), base_w, base_h)
+        cos, sin = get_3d_rotary_pos_embed(
+            cfg.attention_head_dim, crop, (gh, gw), latent_frames)
+    else:
+        base = 512 // s
+        crop = get_resize_crop_region_for_grid((gh, gw), base, base)
+        cos, sin = get_2d_rotary_pos_embed(cfg.attention_head_dim, crop, (gh, gw))
+        cos = np.tile(cos, (latent_frames, 1))
+        sin = np.tile(sin, (latent_frames, 1))
+    return jnp.asarray(cos), jnp.asarray(sin)
+
+
+@dataclasses.dataclass
+class EasyAnimatePipeline:
+    """T2V generation. Construct once; calls jit-cache per shape bucket."""
+
+    transformer: EasyAnimateTransformer3D
+    vae: AutoencoderKLMagvit
+    transformer_params: dict
+    vae_params: dict
+    scheduler: object = dataclasses.field(default_factory=FlowMatchEulerConfig)
+
+    @property
+    def mmdit_cfg(self) -> MMDiTConfig:
+        return self.transformer.cfg
+
+    @property
+    def vae_cfg(self) -> MagvitVAEConfig:
+        return self.vae.cfg
+
+    # -- latent preparation ------------------------------------------------
+
+    def latent_shape(self, batch: int, video_length: int, height: int,
+                     width: int) -> Tuple[int, ...]:
+        lf = latent_frame_count(video_length, self.vae_cfg)
+        sf = self.vae_cfg.spatial_compression
+        return (batch, self.vae_cfg.latent_channels, lf,
+                height // sf, width // sf)
+
+    # -- main entry ---------------------------------------------------------
+
+    def __call__(
+        self,
+        prompt_embeds: jnp.ndarray,            # (B, S, D)
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        *,
+        height: int = 384,
+        width: int = 672,
+        video_length: int = 49,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        guidance_rescale: float = 0.0,
+        rng: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
+        prompt_embeds_t5: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds_t5: Optional[jnp.ndarray] = None,
+        output_type: str = "np",               # 'np' | 'latent'
+        decode: bool = True,
+    ):
+        b = prompt_embeds.shape[0]
+        do_cfg = guidance_scale > 1.0
+        if do_cfg:
+            assert negative_prompt_embeds is not None, "CFG needs negatives"
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        shape = self.latent_shape(b, video_length, height, width)
+        if latents is None:
+            latents = jax.random.normal(rng, shape, jnp.float32)
+            if isinstance(self.scheduler, DDIMConfig):
+                pass  # DDIM init_noise_sigma == 1.0
+        latents = latents.astype(self.mmdit_cfg.jdtype)
+
+        txt = prompt_embeds
+        txt_t5 = prompt_embeds_t5
+        if do_cfg:
+            txt = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
+            if prompt_embeds_t5 is not None:
+                txt_t5 = jnp.concatenate(
+                    [negative_prompt_embeds_t5, prompt_embeds_t5])
+
+        rope = build_rope(self.mmdit_cfg, height, width, shape[2],
+                          vae_scale=self.vae_cfg.spatial_compression)
+        denoise = self._denoise_fn(
+            num_inference_steps, float(guidance_scale),
+            float(guidance_rescale), txt_t5 is not None)
+        latents = denoise(self.transformer_params, latents, txt, txt_t5, rope)
+
+        if output_type == "latent" or not decode:
+            return latents
+        return self.decode_latents(latents)
+
+    # -- compiled pieces ----------------------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _denoise_fn(self, steps: int, guidance_scale: float,
+                    guidance_rescale: float, has_t5: bool):
+        sched = self.scheduler
+        model = self.transformer
+        latent_channels = self.vae_cfg.latent_channels
+        do_cfg = guidance_scale > 1.0
+
+        if isinstance(sched, FlowMatchEulerConfig):
+            timesteps, sigmas = flow_match_schedule(sched, steps, mu=1.0)
+            per_step = np.stack(
+                [timesteps, sigmas[:-1], sigmas[1:]], axis=1)
+        elif isinstance(sched, DDIMConfig):
+            t_arr, alphas_cumprod, final_alpha = ddim_schedule(sched, steps)
+            t_prev = np.concatenate(
+                [t_arr[1:], [-1]]) if steps > 1 else np.array([-1])
+            per_step = np.stack(
+                [t_arr.astype(np.float32), t_prev.astype(np.float32),
+                 np.zeros_like(t_arr, np.float32)], axis=1)
+            alphas_cumprod = jnp.asarray(alphas_cumprod)
+        else:
+            raise TypeError(f"unknown scheduler {type(sched)}")
+        per_step = jnp.asarray(per_step)
+
+        @jax.jit
+        def run(params, latents, txt, txt_t5, rope):
+            def body(lat, step):
+                if isinstance(sched, FlowMatchEulerConfig):
+                    t, sigma, sigma_next = step[0], step[1], step[2]
+                else:
+                    t, t_prev = step[0].astype(jnp.int32), step[1].astype(jnp.int32)
+                lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
+                t_vec = jnp.full((lat_in.shape[0],), step[0], jnp.float32)
+                pred = model.apply(params, lat_in, t_vec, txt, rope,
+                                   encoder_hidden_states_t5=txt_t5)
+                if pred.shape[1] != latent_channels:   # learned sigma
+                    pred = pred[:, :latent_channels]
+                if do_cfg:
+                    uncond, text = jnp.split(pred, 2)
+                    pred = uncond + guidance_scale * (text - uncond)
+                    if guidance_rescale > 0:
+                        pred = rescale_noise_cfg(pred, text, guidance_rescale)
+                if isinstance(sched, FlowMatchEulerConfig):
+                    lat = flow_match_step(lat, pred, sigma, sigma_next)
+                else:
+                    lat = ddim_step(sched, lat, pred, t, t_prev,
+                                    alphas_cumprod, final_alpha)
+                return lat, None
+
+            latents, _ = jax.lax.scan(body, latents, per_step)
+            return latents
+
+        return run
+
+    def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
+        """latents -> uint8-ready float video in [0, 1], (B, C, T, H, W)."""
+        video = self._decode_fn()(self.vae_params, latents)
+        return np.asarray(video)
+
+    @functools.lru_cache(maxsize=2)
+    def _decode_fn(self):
+        vae = self.vae
+        scale = self.vae_cfg.scaling_factor
+
+        @jax.jit
+        def run(vae_params, latents):
+            lat = (latents.astype(jnp.float32) / scale).astype(vae.cfg.jdtype)
+            video = vae_decode(vae, vae_params, lat)
+            return jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+        return run
+
+    def __hash__(self):  # lru_cache on methods needs a stable hash
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other

@@ -1,0 +1,127 @@
+"""Scheduler golden tests vs hand-derived references and an end-to-end tiny
+T2V pipeline smoke test (SURVEY.md §4: tiny-config end-to-end sample)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
+from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
+from easyanimate_tpu.pipeline import (
+    DDIMConfig,
+    EasyAnimatePipeline,
+    FlowMatchEulerConfig,
+    ddim_schedule,
+    ddim_step,
+    flow_match_schedule,
+)
+
+TINY_VAE = MagvitVAEConfig(
+    latent_channels=4,
+    block_out_channels=(8, 16),
+    down_block_types=("SpatialTemporalDownBlock3D", "SpatialDownBlock3D"),
+    up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+    mini_batch_encoder=2,
+    mini_batch_decoder=1,
+    scaling_factor=0.5,
+)
+
+
+def test_flow_match_schedule_dynamic_shift():
+    cfg = FlowMatchEulerConfig()
+    ts, sigmas = flow_match_schedule(cfg, 10, mu=1.0)
+    assert ts.shape == (10,) and sigmas.shape == (11,)
+    # monotonically decreasing, ends at 0
+    assert np.all(np.diff(sigmas) < 1e-8) and sigmas[-1] == 0.0
+    # dynamic shift formula: sigma' = e/(e + 1/s - 1)
+    base = np.linspace(1.0, 1.0 / 1000, 10)
+    want = np.exp(1.0) / (np.exp(1.0) + 1.0 / base - 1.0)
+    np.testing.assert_allclose(sigmas[:-1], want, rtol=1e-5)
+    np.testing.assert_allclose(ts, want * 1000, rtol=1e-5)
+
+
+def test_ddim_step_matches_manual():
+    """DDIM eta=0 epsilon-prediction against the textbook update."""
+    cfg = DDIMConfig()
+    t_arr, ac, final_alpha = ddim_schedule(cfg, 10)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 2, 8, 8)),
+                    jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(1).standard_normal(x.shape),
+                      jnp.float32)
+    t, t_prev = int(t_arr[0]), int(t_arr[1])
+    got = ddim_step(cfg, x, eps, jnp.int32(t), jnp.int32(t_prev),
+                    jnp.asarray(ac), final_alpha)
+    a_t, a_prev = float(ac[t]), float(ac[t_prev])
+    x0 = (np.asarray(x) - np.sqrt(1 - a_t) * np.asarray(eps)) / np.sqrt(a_t)
+    want = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
+def test_ddim_betas_match_torch_linspace():
+    cfg = DDIMConfig(beta_schedule="scaled_linear")
+    from easyanimate_tpu.pipeline.schedulers import make_betas
+    betas = make_betas(cfg)
+    want = torch.linspace(0.0001 ** 0.5, 0.02 ** 0.5, 1000,
+                          dtype=torch.float64) ** 2
+    np.testing.assert_allclose(betas, want.numpy(), rtol=1e-10)
+
+
+def _tiny_pipeline():
+    mmdit_cfg = dataclasses.replace(
+        PRESETS["tiny"], in_channels=4, out_channels=4)
+    transformer = EasyAnimateTransformer3D(mmdit_cfg)
+    vae = AutoencoderKLMagvit(TINY_VAE)
+
+    h = w = 32
+    video_length = 5
+    lat = jnp.zeros((1, 4, 3, h // 2, w // 2))
+    txt = jnp.zeros((1, 6, mmdit_cfg.text_embed_dim))
+    tparams = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt, None)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    return EasyAnimatePipeline(
+        transformer=transformer, vae=vae,
+        transformer_params=tparams, vae_params=vparams,
+    ), mmdit_cfg, (h, w, video_length)
+
+
+def test_t2v_end_to_end_flow():
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    video = pipe(pos, neg, height=h, width=w, video_length=vl,
+                 num_inference_steps=3, guidance_scale=5.0, guidance_rescale=0.7,
+                 rng=jax.random.PRNGKey(42))
+    assert video.shape == (1, 3, vl, h, w)
+    assert np.isfinite(video).all()
+    assert video.min() >= 0.0 and video.max() <= 1.0
+
+
+def test_t2v_latent_only_and_determinism():
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    kw = dict(height=h, width=w, video_length=vl, num_inference_steps=2,
+              guidance_scale=3.0, output_type="latent")
+    l1 = pipe(pos, neg, rng=jax.random.PRNGKey(7), **kw)
+    l2 = pipe(pos, neg, rng=jax.random.PRNGKey(7), **kw)
+    l3 = pipe(pos, neg, rng=jax.random.PRNGKey(8), **kw)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert np.abs(np.asarray(l1) - np.asarray(l3)).max() > 1e-3
+
+
+def test_t2v_ddim_path():
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pipe.scheduler = DDIMConfig()
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    lat = pipe(pos, neg, height=h, width=w, video_length=vl,
+               num_inference_steps=2, guidance_scale=2.0,
+               output_type="latent", rng=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(lat)).all()
