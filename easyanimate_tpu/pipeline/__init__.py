@@ -10,11 +10,15 @@ from .schedulers import (
     rescale_noise_cfg,
 )
 from .t2v import EasyAnimatePipeline, build_rope
+from .inpaint import EasyAnimateInpaintPipeline
+from .control import EasyAnimateControlPipeline
 
 __all__ = [
     "DDIMConfig",
     "FlowMatchEulerConfig",
     "EasyAnimatePipeline",
+    "EasyAnimateInpaintPipeline",
+    "EasyAnimateControlPipeline",
     "build_rope",
     "ddim_add_noise",
     "ddim_schedule",

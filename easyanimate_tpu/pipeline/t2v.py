@@ -135,7 +135,8 @@ class EasyAnimatePipeline:
         denoise = self._denoise_fn(
             num_inference_steps, float(guidance_scale),
             float(guidance_rescale), txt_t5 is not None)
-        latents = denoise(self.transformer_params, latents, txt, txt_t5, rope)
+        latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
+                          {})
 
         if output_type == "latent" or not decode:
             return latents
@@ -143,18 +144,15 @@ class EasyAnimatePipeline:
 
     # -- compiled pieces ----------------------------------------------------
 
-    @functools.lru_cache(maxsize=8)
-    def _denoise_fn(self, steps: int, guidance_scale: float,
-                    guidance_rescale: float, has_t5: bool):
+    def schedule_arrays(self, steps: int, t_start: int = 0):
+        """Per-step scan inputs [(t, a, b)]; a/b are (sigma, sigma_next) for
+        flow or (t_prev, unused) for DDIM. t_start implements `strength`
+        (get_timesteps, pipeline_easyanimate_inpaint.py:760-767)."""
         sched = self.scheduler
-        model = self.transformer
-        latent_channels = self.vae_cfg.latent_channels
-        do_cfg = guidance_scale > 1.0
-
         if isinstance(sched, FlowMatchEulerConfig):
             timesteps, sigmas = flow_match_schedule(sched, steps, mu=1.0)
-            per_step = np.stack(
-                [timesteps, sigmas[:-1], sigmas[1:]], axis=1)
+            per_step = np.stack([timesteps, sigmas[:-1], sigmas[1:]], axis=1)
+            extras = None
         elif isinstance(sched, DDIMConfig):
             t_arr, alphas_cumprod, final_alpha = ddim_schedule(sched, steps)
             t_prev = np.concatenate(
@@ -162,13 +160,24 @@ class EasyAnimatePipeline:
             per_step = np.stack(
                 [t_arr.astype(np.float32), t_prev.astype(np.float32),
                  np.zeros_like(t_arr, np.float32)], axis=1)
-            alphas_cumprod = jnp.asarray(alphas_cumprod)
+            extras = (jnp.asarray(alphas_cumprod), final_alpha)
         else:
             raise TypeError(f"unknown scheduler {type(sched)}")
-        per_step = jnp.asarray(per_step)
+        return jnp.asarray(per_step[t_start:]), extras
+
+    @functools.lru_cache(maxsize=16)
+    def _denoise_fn(self, steps: int, guidance_scale: float,
+                    guidance_rescale: float, has_t5: bool, t_start: int = 0):
+        sched = self.scheduler
+        model = self.transformer
+        latent_channels = self.vae_cfg.latent_channels
+        do_cfg = guidance_scale > 1.0
+        per_step, sched_extras = self.schedule_arrays(steps, t_start)
+        if isinstance(sched, DDIMConfig):
+            alphas_cumprod, final_alpha = sched_extras
 
         @jax.jit
-        def run(params, latents, txt, txt_t5, rope):
+        def run(params, latents, txt, txt_t5, rope, cond):
             def body(lat, step):
                 if isinstance(sched, FlowMatchEulerConfig):
                     t, sigma, sigma_next = step[0], step[1], step[2]
@@ -177,7 +186,7 @@ class EasyAnimatePipeline:
                 lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
                 t_vec = jnp.full((lat_in.shape[0],), step[0], jnp.float32)
                 pred = model.apply(params, lat_in, t_vec, txt, rope,
-                                   encoder_hidden_states_t5=txt_t5)
+                                   encoder_hidden_states_t5=txt_t5, **cond)
                 if pred.shape[1] != latent_channels:   # learned sigma
                     pred = pred[:, :latent_channels]
                 if do_cfg:
