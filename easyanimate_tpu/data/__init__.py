@@ -1,0 +1,29 @@
+from .buckets import (
+    ASPECT_RATIO_512,
+    AspectRatioBatchSampler,
+    ResumableRandomSampler,
+    get_closest_ratio,
+    make_aspect_buckets,
+)
+from .camera import plucker_embedding, plucker_from_file, read_pose_file
+from .dataset import (
+    ImageVideoDataset,
+    resize_center_crop,
+    video_length_for_resolution,
+)
+from .masks import get_random_mask
+
+__all__ = [
+    "ASPECT_RATIO_512",
+    "AspectRatioBatchSampler",
+    "ImageVideoDataset",
+    "ResumableRandomSampler",
+    "get_closest_ratio",
+    "get_random_mask",
+    "make_aspect_buckets",
+    "plucker_embedding",
+    "plucker_from_file",
+    "read_pose_file",
+    "resize_center_crop",
+    "video_length_for_resolution",
+]

@@ -1,0 +1,156 @@
+"""Datasets: json-manifest mixed image+video data (host-side, numpy).
+
+Parity target: ImageVideoDataset (easyanimate/data/dataset_image_video.py:
+329-505): json manifest entries {file_path, text, type}, stride frame
+sampling, short-side resize + center crop to the bucket resolution, random
+inpaint masks, failure retry by random re-index. Video decoding uses decord
+when available, falling back to imageio/cv2 (all optional in this image).
+
+Token-length curriculum: `video_length_for_resolution` maps a resolution to
+a frame count at a fixed token budget (reference
+training_with_video_token_length, train.py:1275-1293).
+"""
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .masks import get_random_mask
+
+
+def _read_video(path: str, frame_indices: np.ndarray) -> np.ndarray:
+    """(T, H, W, 3) uint8."""
+    try:
+        import decord  # type: ignore
+        vr = decord.VideoReader(path)
+        return vr.get_batch(list(frame_indices)).asnumpy()
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio  # type: ignore
+        frames = iio.imread(path, plugin="pyav")
+        return frames[frame_indices]
+    except ImportError:
+        pass
+    import cv2  # type: ignore
+
+    cap = cv2.VideoCapture(path)
+    want = set(int(i) for i in frame_indices)
+    frames = {}
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i in want:
+            frames[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        i += 1
+    cap.release()
+    return np.stack([frames[int(i)] for i in frame_indices])
+
+
+def _read_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+def resize_center_crop(frames: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Short-side resize + center crop, per frame (uint8 in/out)."""
+    from PIL import Image
+
+    t, h, w = frames.shape[:3]
+    scale = max(height / h, width / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    out = np.empty((t, height, width, 3), np.uint8)
+    top = (nh - height) // 2
+    left = (nw - width) // 2
+    for i in range(t):
+        img = Image.fromarray(frames[i]).resize((nw, nh), Image.BILINEAR)
+        out[i] = np.asarray(img)[top:top + height, left:left + width]
+    return out
+
+
+def video_length_for_resolution(token_length: int, height: int, width: int,
+                                vae_spatial: int = 8, vae_temporal: int = 4,
+                                patch: int = 2, max_frames: int = 49) -> int:
+    """Frames that fit `token_length` tokens at (height, width); returns a
+    `vae_temporal*k + 1` count."""
+    per_frame = (height // vae_spatial // patch) * (width // vae_spatial // patch)
+    latent_frames = max(token_length // per_frame, 1)
+    frames = (latent_frames - 1) * vae_temporal + 1
+    return min(frames, max_frames)
+
+
+@dataclasses.dataclass
+class ImageVideoDataset:
+    """Manifest-backed dataset; __getitem__ returns a dict of numpy arrays."""
+
+    manifest_path: str
+    data_root: Optional[str] = None
+    video_sample_n_frames: int = 49
+    video_sample_stride: int = 4
+    height: int = 384
+    width: int = 672
+    enable_inpaint: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        with open(self.manifest_path) as f:
+            self.entries: List[Dict] = json.load(f)
+        self._rng = np.random.default_rng(self.seed)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def sample_info(self) -> List[Tuple[str, float, float]]:
+        """(type, height, width) per entry for the bucket sampler; falls back
+        to declared resolution fields or the default size."""
+        out = []
+        for e in self.entries:
+            out.append((e.get("type", "video"),
+                        float(e.get("height", self.height)),
+                        float(e.get("width", self.width))))
+        return out
+
+    def _path(self, e: Dict) -> str:
+        p = e["file_path"]
+        return os.path.join(self.data_root, p) if self.data_root else p
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        for _ in range(8):  # retry-with-reindex on decode failure
+            try:
+                return self._load(self.entries[idx], idx)
+            except Exception:
+                idx = int(self._rng.integers(0, len(self.entries)))
+        raise RuntimeError("too many decode failures")
+
+    def _load(self, e: Dict, idx: int) -> Dict[str, np.ndarray]:
+        kind = e.get("type", "video")
+        if kind == "image":
+            frames = _read_image(self._path(e))[None]
+        else:
+            n = self.video_sample_n_frames
+            # stride sampling from a random clip start
+            span = (n - 1) * self.video_sample_stride + 1
+            total = e.get("num_frames")
+            if total is None:
+                total = span
+            start = int(self._rng.integers(0, max(int(total) - span, 0) + 1))
+            frame_idx = start + np.arange(n) * self.video_sample_stride
+            frames = _read_video(self._path(e), frame_idx)
+        frames = resize_center_crop(frames, self.height, self.width)
+        pixel_values = frames.astype(np.float32) / 255.0  # (T, H, W, 3)
+        sample = {
+            "pixel_values": np.transpose(pixel_values, (3, 0, 1, 2)),  # C,T,H,W
+            "text": e.get("text", ""),
+            "idx": np.int64(idx),
+        }
+        if self.enable_inpaint:
+            t, h, w = pixel_values.shape[:3]
+            mask = get_random_mask((t, 1, h, w), self._rng)
+            sample["mask"] = np.transpose(mask, (1, 0, 2, 3)).astype(np.float32) / 255.0
+        return sample

@@ -1,0 +1,66 @@
+"""Checkpoint save/resume with orbax.
+
+Parity target (train.py:1119-1170, 2152-2176): periodic `save_state` with
+rotation to a total limit, sampler-cursor persistence for exact data-order
+resume, and latest-checkpoint discovery with fallback to the second-latest
+on a corrupt load (train.py:1564-1626).
+"""
+import json
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.max_to_keep = max_to_keep
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"checkpoint-{step}")
+
+    def steps(self):
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("checkpoint-"):
+                try:
+                    out.append(int(name.split("-")[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def save(self, step: int, state: Any, sampler_state: Optional[dict] = None):
+        path = self._path(step)
+        self._ckpt.save(os.path.join(path, "state"), state)
+        if sampler_state is not None:
+            with open(os.path.join(path, "sampler.json"), "w") as f:
+                json.dump(sampler_state, f)
+        self._rotate()
+
+    def _rotate(self):
+        steps = self.steps()
+        while len(steps) > self.max_to_keep:
+            victim = steps.pop(0)
+            shutil.rmtree(self._path(victim), ignore_errors=True)
+
+    def restore_latest(self, template: Any):
+        """Returns (state, sampler_state, step) or (None, None, None).
+        Falls back to the previous checkpoint if the latest fails to load."""
+        for step in reversed(self.steps()):
+            try:
+                state = self._ckpt.restore(
+                    os.path.join(self._path(step), "state"), template)
+                sampler = None
+                spath = os.path.join(self._path(step), "sampler.json")
+                if os.path.exists(spath):
+                    with open(spath) as f:
+                        sampler = json.load(f)
+                return state, sampler, step
+            except Exception:
+                continue
+        return None, None, None

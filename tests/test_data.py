@@ -1,0 +1,94 @@
+"""Data layer tests: bucket table parity with the reference's hardcoded
+values, samplers, masks, Plucker rays."""
+import numpy as np
+import pytest
+
+from easyanimate_tpu.data import (
+    ASPECT_RATIO_512,
+    AspectRatioBatchSampler,
+    ResumableRandomSampler,
+    get_closest_ratio,
+    get_random_mask,
+    plucker_embedding,
+    video_length_for_resolution,
+)
+from easyanimate_tpu.data.camera import CameraPose
+
+
+def test_bucket_table_matches_reference_spot_values():
+    # spot values from the reference's ASPECT_RATIO_512 table
+    # (bucket_sampler.py:12-23)
+    expect = {
+        "0.25": (256, 1024), "0.57": (384, 672), "1.0": (512, 512),
+        "1.75": (672, 384), "4.0": (1024, 256), "0.52": (352, 672),
+        "2.89": (832, 288), "1.29": (576, 448),
+    }
+    for k, v in expect.items():
+        assert k in ASPECT_RATIO_512, k
+        assert tuple(ASPECT_RATIO_512[k]) == v, (k, ASPECT_RATIO_512[k], v)
+    assert len(ASPECT_RATIO_512) == 40
+
+
+def test_get_closest_ratio():
+    (h, w), r = get_closest_ratio(380, 670)
+    assert (h, w) == (384, 672) and abs(r - 0.57) < 1e-6
+
+
+def test_resumable_sampler_roundtrip():
+    s = ResumableRandomSampler(num_samples=10, seed=1)
+    it = iter(s)
+    first = [next(it) for _ in range(4)]
+    state = s.state_dict()
+    rest = [next(it) for _ in range(6)]
+    s2 = ResumableRandomSampler(num_samples=10, seed=1)
+    s2.load_state_dict(state)
+    resumed = [next(iter(s2)) for _ in range(6)]
+    assert rest == resumed
+    assert sorted(first + rest) == list(range(10))
+
+
+def test_batch_sampler_separates_kinds_and_buckets():
+    info = [("video", 384, 672)] * 4 + [("image", 512, 512)] * 4 + \
+           [("video", 512, 512)] * 4
+    s = ResumableRandomSampler(num_samples=len(info), seed=0)
+    bs = AspectRatioBatchSampler(sampler=s, batch_size=2, sample_info=info)
+    batches = []
+    it = iter(bs)
+    for _ in range(6):
+        batches.append(next(it))
+    for b in batches:
+        kinds = {info[i][0] for i in b}
+        ratios = {get_closest_ratio(*info[i][1:])[1] for i in b}
+        assert len(kinds) == 1 and len(ratios) == 1
+
+
+def test_random_mask_shapes_and_values():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        m = get_random_mask((5, 1, 16, 16), rng)
+        assert m.shape == (5, 1, 16, 16)
+        assert set(np.unique(m)).issubset({0, 255})
+    m = get_random_mask((5, 1, 16, 16), rng, image_start_only=True)
+    assert m[0].sum() == 0 and (m[1:] == 255).all()
+
+
+def test_video_length_for_resolution_token_budget():
+    # 512x512 -> 32x32 latent grid /2 patch -> 1024 tokens/frame
+    assert video_length_for_resolution(1024 * 13, 512, 512) == 49
+    assert video_length_for_resolution(1024, 512, 512) == 1
+    # larger resolution, same budget -> fewer frames
+    f_hi = video_length_for_resolution(1024 * 13, 1024, 1024)
+    assert f_hi < 49 and (f_hi - 1) % 4 == 0
+
+
+def test_plucker_embedding_identity_camera():
+    # identity pose, centered principal point: center ray ~ +z, o x d = 0
+    pose = CameraPose(fx=1.0, fy=1.0, cx=0.5, cy=0.5, w2c=np.eye(4))
+    emb = plucker_embedding([pose, pose], height=8, width=8,
+                            original_pose_width=8, original_pose_height=8)
+    assert emb.shape == (2, 8, 8, 6)
+    np.testing.assert_allclose(emb[..., :3], 0.0, atol=1e-6)  # origin at 0
+    d = emb[0, 4, 4, 3:]
+    assert d[2] > 0.9  # near-center ray points forward
+    np.testing.assert_allclose(np.linalg.norm(emb[..., 3:], axis=-1), 1.0,
+                               atol=1e-5)
