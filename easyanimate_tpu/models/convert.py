@@ -1,0 +1,272 @@
+"""Checkpoint conversion: reference PyTorch state dicts -> flax param trees.
+
+Key layouts being mapped (reference module definitions):
+  MMDiT     transformer3d.py:1347-1483 + attention.py:1027-1100 +
+            norm.py:135-166 (diffusers Attention/FeedForward submodule names)
+  MagViT    omnigen_enc_dec.py + vaemodules/* (Conv3d weights OITHW)
+
+Conventions:
+  torch Linear weight (out, in)    -> flax Dense kernel (in, out)      [T]
+  torch Conv2d weight (O, I, H, W) -> flax Conv kernel (H, W, I, O)
+  torch Conv3d weight (O, I, T, H, W) -> CausalConv3d kernel (T, H, W, I, O)
+  per-layer block weights are stacked on a leading axis when the flax model
+  uses the nn.scan layout (cfg.scan_layers).
+Weights are accepted as numpy arrays (load safetensors with
+`safetensors.numpy.load_file`, no torch required).
+"""
+from typing import Dict
+
+import numpy as np
+
+from .mmdit import MMDiTConfig
+from .vae.magvit import MagvitVAEConfig
+
+
+def _t(w):  # linear
+    return np.ascontiguousarray(np.transpose(w))
+
+
+def _conv2d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _conv3d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+def _nest(flat: Dict[str, np.ndarray]):
+    import flax
+
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
+# ---------------------------------------------------------------------------
+# MMDiT
+# ---------------------------------------------------------------------------
+
+
+def _block_mapping(src_prefix: str):
+    """reference block key suffix -> (our key suffix, transform)."""
+    m = {
+        "norm1.linear.weight": ("norm1/linear/kernel", _t),
+        "norm1.linear.bias": ("norm1/linear/bias", None),
+        "norm1.norm.weight": ("norm1/norm_scale", None),
+        "norm1.norm.bias": ("norm1/norm_bias", None),
+        "norm2.linear.weight": ("norm2/linear/kernel", _t),
+        "norm2.linear.bias": ("norm2/linear/bias", None),
+        "norm2.norm.weight": ("norm2/norm_scale", None),
+        "norm2.norm.bias": ("norm2/norm_bias", None),
+        "ff.net.0.proj.weight": ("ff/wi/kernel", _t),
+        "ff.net.0.proj.bias": ("ff/wi/bias", None),
+        "ff.net.2.weight": ("ff/wo/kernel", _t),
+        "ff.net.2.bias": ("ff/wo/bias", None),
+        "txt_ff.net.0.proj.weight": ("txt_ff/wi/kernel", _t),
+        "txt_ff.net.0.proj.bias": ("txt_ff/wi/bias", None),
+        "txt_ff.net.2.weight": ("txt_ff/wo/kernel", _t),
+        "txt_ff.net.2.bias": ("txt_ff/wo/bias", None),
+        "norm3.weight": ("norm3_scale", None),
+        "norm3.bias": ("norm3_bias", None),
+    }
+    for attn in ("attn1", "attn2"):
+        for p in ("q", "k", "v"):
+            m[f"{attn}.to_{p}.weight"] = (f"{attn}/to_{p}/kernel", _t)
+            m[f"{attn}.to_{p}.bias"] = (f"{attn}/to_{p}/bias", None)
+        m[f"{attn}.norm_q.weight"] = (f"{attn}/norm_q_scale", None)
+        m[f"{attn}.norm_q.bias"] = (f"{attn}/norm_q_bias", None)
+        m[f"{attn}.norm_k.weight"] = (f"{attn}/norm_k_scale", None)
+        m[f"{attn}.norm_k.bias"] = (f"{attn}/norm_k_bias", None)
+        m[f"{attn}.to_out.0.weight"] = (f"{attn}_out/kernel", _t)
+        m[f"{attn}.to_out.0.bias"] = (f"{attn}_out/bias", None)
+    return {src_prefix + k: v for k, v in m.items()}
+
+
+def convert_mmdit_state_dict(sd: Dict[str, np.ndarray], cfg: MMDiTConfig):
+    """-> {'params': ...} flax variables for EasyAnimateTransformer3D."""
+    flat: Dict[str, np.ndarray] = {}
+    top = {
+        "time_embedding.linear_1.weight": ("time_embedding/linear_1/kernel", _t),
+        "time_embedding.linear_1.bias": ("time_embedding/linear_1/bias", None),
+        "time_embedding.linear_2.weight": ("time_embedding/linear_2/kernel", _t),
+        "time_embedding.linear_2.bias": ("time_embedding/linear_2/bias", None),
+        "proj.weight": ("proj/proj/kernel", _conv2d),
+        "proj.bias": ("proj/proj/bias", None),
+        "norm_final.weight": ("norm_final_scale", None),
+        "norm_final.bias": ("norm_final_bias", None),
+        "norm_out.linear.weight": ("norm_out/kernel", _t),
+        "norm_out.linear.bias": ("norm_out/bias", None),
+        "norm_out.norm.weight": ("norm_out_scale", None),
+        "norm_out.norm.bias": ("norm_out_bias", None),
+        "proj_out.weight": ("proj_out/kernel", _t),
+        "proj_out.bias": ("proj_out/bias", None),
+        "clip_proj.weight": ("clip_proj/kernel", _t),
+        "clip_proj.bias": ("clip_proj/bias", None),
+        "ref_proj.weight": ("ref_proj/proj/kernel", _conv2d),
+        "ref_proj.bias": ("ref_proj/proj/bias", None),
+    }
+    if cfg.add_norm_text_encoder:
+        top.update({
+            "text_proj.0.weight": ("text_norm_scale", None),
+            "text_proj.1.weight": ("text_proj/kernel", _t),
+            "text_proj.1.bias": ("text_proj/bias", None),
+            "text_proj_t5.0.weight": ("text_norm_t5_scale", None),
+            "text_proj_t5.1.weight": ("text_proj_t5/kernel", _t),
+            "text_proj_t5.1.bias": ("text_proj_t5/bias", None),
+        })
+    else:
+        top.update({
+            "text_proj.weight": ("text_proj/kernel", _t),
+            "text_proj.bias": ("text_proj/bias", None),
+            "text_proj_t5.weight": ("text_proj_t5/kernel", _t),
+            "text_proj_t5.bias": ("text_proj_t5/bias", None),
+        })
+
+    consumed = set()
+    for src, (dst, fn) in top.items():
+        if src in sd:
+            flat[dst] = fn(sd[src]) if fn else np.asarray(sd[src])
+            consumed.add(src)
+
+    homogeneous = cfg.mmdit_layers >= cfg.num_layers and not cfg.swa_layers
+    if cfg.scan_layers and homogeneous:
+        # stack per-layer weights along a leading axis
+        per_key: Dict[str, list] = {}
+        for i in range(cfg.num_layers):
+            mapping = _block_mapping(f"transformer_blocks.{i}.")
+            for src, (dst, fn) in mapping.items():
+                if src in sd:
+                    per_key.setdefault(dst, []).append(
+                        fn(sd[src]) if fn else np.asarray(sd[src]))
+                    consumed.add(src)
+        for dst, stack in per_key.items():
+            assert len(stack) == cfg.num_layers, (dst, len(stack))
+            flat[f"blocks/block/{dst}"] = np.stack(stack)
+    else:
+        for i in range(cfg.num_layers):
+            mapping = _block_mapping(f"transformer_blocks.{i}.")
+            for src, (dst, fn) in mapping.items():
+                if src in sd:
+                    flat[f"block{i}/{dst}"] = fn(sd[src]) if fn else np.asarray(sd[src])
+                    consumed.add(src)
+
+    leftover = set(sd) - consumed
+    if leftover:
+        raise ValueError(f"unmapped reference keys: {sorted(leftover)[:8]}...")
+    return {"params": _nest(flat)}
+
+
+# ---------------------------------------------------------------------------
+# MagViT VAE
+# ---------------------------------------------------------------------------
+
+
+def _vae_res(src, dst):
+    return {
+        f"{src}.norm1.weight": (f"{dst}/norm1/scale", None),
+        f"{src}.norm1.bias": (f"{dst}/norm1/bias", None),
+        f"{src}.conv1.weight": (f"{dst}/conv1/kernel", _conv3d),
+        f"{src}.conv1.bias": (f"{dst}/conv1/bias", None),
+        f"{src}.norm2.weight": (f"{dst}/norm2/scale", None),
+        f"{src}.norm2.bias": (f"{dst}/norm2/bias", None),
+        f"{src}.conv2.weight": (f"{dst}/conv2/kernel", _conv3d),
+        f"{src}.conv2.bias": (f"{dst}/conv2/bias", None),
+        f"{src}.shortcut.weight": (f"{dst}/shortcut/kernel",
+                                   lambda w: _t(w[:, :, 0, 0, 0])),
+        f"{src}.shortcut.bias": (f"{dst}/shortcut/bias", None),
+    }
+
+
+def _vae_attn(src, dst):
+    m = {
+        f"{src}.group_norm.weight": (f"{dst}/group_norm/scale", None),
+        f"{src}.group_norm.bias": (f"{dst}/group_norm/bias", None),
+        f"{src}.to_out.weight": (f"{dst}/to_out/kernel", _t),
+        f"{src}.to_out.bias": (f"{dst}/to_out/bias", None),
+    }
+    for p in ("q", "k", "v"):
+        m[f"{src}.to_{p}.weight"] = (f"{dst}/to_{p}/kernel", _t)
+        m[f"{src}.to_{p}.bias"] = (f"{dst}/to_{p}/bias", None)
+    return m
+
+
+def convert_vae_state_dict(sd: Dict[str, np.ndarray], cfg: MagvitVAEConfig):
+    """-> {'params': ...} for AutoencoderKLMagvit."""
+    mapping: Dict[str, tuple] = {}
+
+    def half(side: str, block_types, n_blocks_name):
+        pre = side  # 'encoder' | 'decoder'
+        mapping.update({
+            f"{pre}.conv_in.weight": (f"{pre}/conv_in/kernel", _conv3d),
+            f"{pre}.conv_in.bias": (f"{pre}/conv_in/bias", None),
+            f"{pre}.conv_norm_out.weight": (f"{pre}/conv_norm_out/scale", None),
+            f"{pre}.conv_norm_out.bias": (f"{pre}/conv_norm_out/bias", None),
+            f"{pre}.conv_out.weight": (f"{pre}/conv_out/kernel", _conv3d),
+            f"{pre}.conv_out.bias": (f"{pre}/conv_out/bias", None),
+        })
+        # mid block
+        for j in range(cfg.layers_per_block):
+            mapping.update(_vae_res(f"{pre}.mid_block.convs.{j}",
+                                    f"{pre}/mid/res{j}"))
+        for j in range(cfg.layers_per_block - 1):
+            if cfg.mid_block_attention_type == "spatial_temporal":
+                mapping.update(_vae_attn(f"{pre}.mid_block.attentions.{j}.0",
+                                         f"{pre}/mid/attn{j+1}_spatial"))
+                mapping.update(_vae_attn(f"{pre}.mid_block.attentions.{j}.1",
+                                         f"{pre}/mid/attn{j+1}_temporal"))
+            else:
+                mapping.update(_vae_attn(f"{pre}.mid_block.attentions.{j}",
+                                         f"{pre}/mid/attn{j+1}"))
+        # down/up blocks
+        kind = "down_blocks" if side == "encoder" else "up_blocks"
+        short = "down" if side == "encoder" else "up"
+        n_res = cfg.layers_per_block if side == "encoder" else cfg.layers_per_block + 1
+        for i in range(len(block_types)):
+            for j in range(n_res):
+                mapping.update(_vae_res(f"{pre}.{kind}.{i}.convs.{j}",
+                                        f"{pre}/{short}{i}/res{j}"))
+            is_final = i == len(block_types) - 1
+            if not is_final:
+                if side == "encoder":
+                    mapping.update({
+                        f"{pre}.{kind}.{i}.downsampler.conv.weight":
+                            (f"{pre}/{short}{i}/down/conv/kernel", _conv3d),
+                        f"{pre}.{kind}.{i}.downsampler.conv.bias":
+                            (f"{pre}/{short}{i}/down/conv/bias", None),
+                    })
+                else:
+                    bt = block_types[i]
+                    if "SpatialTemporal" in bt:
+                        dstc = f"{pre}/{short}{i}/up/conv"
+                    else:
+                        dstc = f"{pre}/{short}{i}/up_conv"
+                    mapping.update({
+                        f"{pre}.{kind}.{i}.upsampler.conv.weight":
+                            (f"{dstc}/kernel", _conv3d),
+                        f"{pre}.{kind}.{i}.upsampler.conv.bias":
+                            (f"{dstc}/bias", None),
+                    })
+
+    half("encoder", cfg.down_block_types, "down")
+    half("decoder", cfg.up_block_types, "up")
+    mapping.update({
+        "quant_conv.weight": ("quant_conv/kernel", lambda w: _t(w[:, :, 0, 0, 0])),
+        "quant_conv.bias": ("quant_conv/bias", None),
+        "post_quant_conv.weight": ("post_quant_conv/kernel",
+                                   lambda w: _t(w[:, :, 0, 0, 0])),
+        "post_quant_conv.bias": ("post_quant_conv/bias", None),
+    })
+
+    flat, consumed = {}, set()
+    for src, (dst, fn) in mapping.items():
+        if src in sd:
+            flat[dst] = fn(sd[src]) if fn else np.asarray(sd[src])
+            consumed.add(src)
+    leftover = set(sd) - consumed
+    if leftover:
+        raise ValueError(f"unmapped VAE keys: {sorted(leftover)[:8]}...")
+    return {"params": _nest(flat)}
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    return load_file(path)
