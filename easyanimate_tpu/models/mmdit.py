@@ -10,10 +10,15 @@ Parity target: reference transformer3d.py:1347-1689. Forward spine:
   final LayerNorm over concat(text, video), slice video      (:1673-1675)
   AdaLayerNorm (shift/scale from temb) -> proj_out -> unpatchify (:1678-1685)
 
-TPU design: layers are homogeneous for V5.1, so the block stack compiles as
-one `nn.scan` over stacked parameters (single compilation of the layer body,
-optionally rematerialized). RoPE tables are passed in as host-built
-constants (ops/rope.py).
+TPU design:
+  - layers are homogeneous for V5.1, so the block stack compiles as one
+    `nn.scan` over stacked parameters (single compile of the layer body,
+    optionally rematerialized); RoPE tables are host-built constants.
+  - the forward is split into embed / backbone / head methods so the
+    pipeline can wrap the backbone in `lax.cond` for TeaCache step skipping
+    (reference TeaCache, transformer3d.py:90-137,1563-1636): the reference
+    caches (post-norm_out hidden - post-embed hidden) as the residual, which
+    is exactly backbone(embed(x)) - embed(x) here.
 """
 import dataclasses
 from typing import Any, Dict, Optional, Sequence, Tuple
@@ -54,6 +59,7 @@ class MMDiTConfig:
     clip_channels: Optional[int] = None
     add_ref_latent_in_control_model: bool = False
     resize_inpaint_mask_directly: bool = True
+    add_noise_in_inpaint_model: bool = True
     # TPU options
     scan_layers: bool = True
     remat: bool = True
@@ -72,9 +78,13 @@ class MMDiTConfig:
     def jdtype(self):
         return jnp.dtype(self.dtype)
 
+    @property
+    def homogeneous(self) -> bool:
+        return self.mmdit_layers >= self.num_layers and not self.swa_layers
+
 
 PRESETS: Dict[str, MMDiTConfig] = {
-    # Flagship: ~11.6B dual-stream parameters (marketing "12B").
+    # Flagship: ~11.8B dual-stream parameters (marketing "12B").
     "v5.1-12b": MMDiTConfig(),
     "v5.1-12b-inpaint": MMDiTConfig(in_channels=16 + 1 + 16),
     "v5.1-7b": MMDiTConfig(num_attention_heads=40, num_layers=40),
@@ -85,126 +95,6 @@ PRESETS: Dict[str, MMDiTConfig] = {
         dtype="float32",
     ),
 }
-
-
-class EasyAnimateTransformer3D(nn.Module):
-    cfg: MMDiTConfig
-
-    @nn.compact
-    def __call__(
-        self,
-        hidden_states: jnp.ndarray,            # (B, C, T, H, W) latents
-        timestep: jnp.ndarray,                 # (B,)
-        encoder_hidden_states: jnp.ndarray,    # (B, S_txt, text_embed_dim)
-        rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-        encoder_hidden_states_t5: Optional[jnp.ndarray] = None,
-        inpaint_latents: Optional[jnp.ndarray] = None,
-        control_latents: Optional[jnp.ndarray] = None,
-        ref_latents: Optional[jnp.ndarray] = None,
-        clip_encoder_hidden_states: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
-        cfg = self.cfg
-        dt = cfg.jdtype
-        b, c, t, hh, ww = hidden_states.shape
-        p = cfg.patch_size
-
-        # 1. time embedding
-        temb = sinusoidal_timestep_embedding(timestep, cfg.inner_dim)
-        temb = TimestepEmbedding(cfg.time_embed_dim, dtype=dt,
-                                 name="time_embedding")(temb.astype(dt))
-
-        # 2. channel-concat conditioning + patchify
-        if inpaint_latents is not None:
-            hidden_states = jnp.concatenate([hidden_states, inpaint_latents], axis=1)
-        if control_latents is not None:
-            hidden_states = jnp.concatenate([hidden_states, control_latents], axis=1)
-        x = jnp.transpose(hidden_states, (0, 2, 3, 4, 1)).astype(dt)  # BTHWC
-        vid = PatchEmbed2D(cfg.inner_dim, p, dtype=dt, name="proj")(x)
-
-        # 3. text projection (+ optional T5 second stream concat)
-        txt_in = encoder_hidden_states.astype(dt)
-        if cfg.add_norm_text_encoder:
-            w = self.param("text_norm_scale", nn.initializers.ones,
-                           (cfg.text_embed_dim,), jnp.float32)
-            txt_in = fp32_rms_norm(txt_in, w)
-        txt = nn.Dense(cfg.inner_dim, dtype=dt, name="text_proj")(txt_in)
-        if encoder_hidden_states_t5 is not None:
-            t5 = encoder_hidden_states_t5.astype(dt)
-            if cfg.add_norm_text_encoder:
-                w5 = self.param("text_norm_t5_scale", nn.initializers.ones,
-                                (cfg.text_embed_dim_t5,), jnp.float32)
-                t5 = fp32_rms_norm(t5, w5)
-            t5 = nn.Dense(cfg.inner_dim, dtype=dt, name="text_proj_t5")(t5)
-            txt = jnp.concatenate([txt, t5], axis=1)
-
-        # 3b. reference-image / CLIP branches (control & I2V models)
-        if ref_latents is not None:
-            rb, rc, rt, rh, rw = ref_latents.shape
-            ref = jnp.transpose(ref_latents, (0, 2, 3, 4, 1)).astype(dt)
-            ref = PatchEmbed2D(cfg.inner_dim, p, dtype=dt, name="ref_proj")(ref)
-            pos = _sincos_2d(cfg.inner_dim, rh // p, rw // p)
-            ref = ref + jnp.asarray(pos, dt)[None]
-            txt = ref
-        if clip_encoder_hidden_states is not None:
-            clip = nn.Dense(cfg.inner_dim, dtype=dt, name="clip_proj")(
-                clip_encoder_hidden_states.astype(dt))
-            txt = jnp.concatenate([clip, txt], axis=1)
-
-        # 4. block stack
-        homogeneous = (
-            cfg.mmdit_layers >= cfg.num_layers and not cfg.swa_layers
-        )
-        block_kwargs = dict(
-            dim=cfg.inner_dim, num_heads=cfg.num_attention_heads,
-            head_dim=cfg.attention_head_dim, qk_norm=cfg.qk_norm,
-            after_norm=cfg.after_norm, attn_impl=cfg.attn_impl, dtype=dt,
-        )
-        if cfg.scan_layers and homogeneous:
-            block_cls = _ScanBlock
-            if cfg.remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
-            stack = nn.scan(
-                block_cls,
-                variable_axes={"params": 0},
-                split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast),
-                length=cfg.num_layers,
-            )(block_kwargs=block_kwargs, name="blocks")
-            (vid, txt), _ = stack((vid, txt), temb, rope)
-        else:
-            for i in range(cfg.num_layers):
-                is_mmdit = i < cfg.mmdit_layers
-                block = MMDiTBlock(**block_kwargs, is_mmdit=is_mmdit,
-                                   name=f"block{i}")
-                if cfg.remat:
-                    vid, txt = nn.remat(
-                        lambda m, *a: m(*a), prevent_cse=False
-                    )(block, vid, txt, temb, rope)
-                else:
-                    vid, txt = block(vid, txt, temb, rope)
-
-        # 5. final norm over concat, keep the video slice
-        st = txt.shape[1]
-        joint = jnp.concatenate([txt, vid], axis=1)
-        wf = self.param("norm_final_scale", nn.initializers.ones,
-                        (cfg.inner_dim,), jnp.float32)
-        bf = self.param("norm_final_bias", nn.initializers.zeros,
-                        (cfg.inner_dim,), jnp.float32)
-        vid = fp32_layer_norm(joint, wf, bf, cfg.norm_eps)[:, st:]
-
-        # 6. AdaLayerNorm out (shift first, diffusers chunk_dim=1 order)
-        mods = nn.Dense(2 * cfg.inner_dim, dtype=dt, name="norm_out")(
-            nn.silu(temb))
-        shift, scale = jnp.split(mods, 2, axis=-1)
-        wo = self.param("norm_out_scale", nn.initializers.ones,
-                        (cfg.inner_dim,), jnp.float32)
-        bo = self.param("norm_out_bias", nn.initializers.zeros,
-                        (cfg.inner_dim,), jnp.float32)
-        vid = fp32_layer_norm(vid, wo, bo, cfg.norm_eps)
-        vid = vid * (1 + scale[:, None]) + shift[:, None]
-        vid = nn.Dense(p * p * cfg.out_channels, dtype=dt, name="proj_out")(vid)
-
-        return unpatchify(vid, t, hh // p, ww // p, p, cfg.out_channels)
 
 
 class _ScanBlock(nn.Module):
@@ -219,6 +109,190 @@ class _ScanBlock(nn.Module):
         vid, txt = MMDiTBlock(**self.block_kwargs, is_mmdit=True,
                               name="block")(vid, txt, temb, rope)
         return (vid, txt), None
+
+
+class EasyAnimateTransformer3D(nn.Module):
+    cfg: MMDiTConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.jdtype
+        self.time_embedding = TimestepEmbedding(cfg.time_embed_dim, dtype=dt)
+        self.proj = PatchEmbed2D(cfg.inner_dim, cfg.patch_size, dtype=dt)
+        self.text_proj = nn.Dense(cfg.inner_dim, dtype=dt)
+        if cfg.text_embed_dim_t5 is not None:
+            self.text_proj_t5 = nn.Dense(cfg.inner_dim, dtype=dt)
+        if cfg.add_norm_text_encoder:
+            self.text_norm_scale = self.param(
+                "text_norm_scale", nn.initializers.ones,
+                (cfg.text_embed_dim,), jnp.float32)
+            if cfg.text_embed_dim_t5 is not None:
+                self.text_norm_t5_scale = self.param(
+                    "text_norm_t5_scale", nn.initializers.ones,
+                    (cfg.text_embed_dim_t5,), jnp.float32)
+        if cfg.ref_channels is not None or cfg.add_ref_latent_in_control_model:
+            self.ref_proj = PatchEmbed2D(cfg.inner_dim, cfg.patch_size, dtype=dt)
+        if cfg.clip_channels is not None:
+            self.clip_proj = nn.Dense(cfg.inner_dim, dtype=dt)
+
+        block_kwargs = dict(
+            dim=cfg.inner_dim, num_heads=cfg.num_attention_heads,
+            head_dim=cfg.attention_head_dim, qk_norm=cfg.qk_norm,
+            after_norm=cfg.after_norm, norm_eps=cfg.norm_eps,
+            attn_impl=cfg.attn_impl, dtype=dt,
+        )
+        if cfg.scan_layers and cfg.homogeneous:
+            block_cls = _ScanBlock
+            if cfg.remat:
+                block_cls = nn.remat(block_cls, prevent_cse=False)
+            self.blocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+            )(block_kwargs=block_kwargs)
+        else:
+            self.loop_blocks = [
+                MMDiTBlock(**block_kwargs, is_mmdit=i < cfg.mmdit_layers,
+                           name=f"block{i}")
+                for i in range(cfg.num_layers)
+            ]
+
+        self.norm_final_scale = self.param(
+            "norm_final_scale", nn.initializers.ones, (cfg.inner_dim,), jnp.float32)
+        self.norm_final_bias = self.param(
+            "norm_final_bias", nn.initializers.zeros, (cfg.inner_dim,), jnp.float32)
+        self.norm_out = nn.Dense(2 * cfg.inner_dim, dtype=dt)
+        self.norm_out_scale = self.param(
+            "norm_out_scale", nn.initializers.ones, (cfg.inner_dim,), jnp.float32)
+        self.norm_out_bias = self.param(
+            "norm_out_bias", nn.initializers.zeros, (cfg.inner_dim,), jnp.float32)
+        self.proj_out = nn.Dense(
+            cfg.patch_size * cfg.patch_size * cfg.out_channels, dtype=dt)
+
+    # -- stages ---------------------------------------------------------------
+
+    def embed(
+        self,
+        hidden_states: jnp.ndarray,
+        timestep: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        encoder_hidden_states_t5: Optional[jnp.ndarray] = None,
+        inpaint_latents: Optional[jnp.ndarray] = None,
+        control_latents: Optional[jnp.ndarray] = None,
+        ref_latents: Optional[jnp.ndarray] = None,
+        clip_encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ):
+        """-> (vid_tokens, txt_tokens, temb)."""
+        cfg = self.cfg
+        dt = cfg.jdtype
+
+        temb = sinusoidal_timestep_embedding(timestep, cfg.inner_dim)
+        temb = self.time_embedding(temb.astype(dt))
+
+        if inpaint_latents is not None:
+            hidden_states = jnp.concatenate([hidden_states, inpaint_latents], axis=1)
+        if control_latents is not None:
+            hidden_states = jnp.concatenate([hidden_states, control_latents], axis=1)
+        x = jnp.transpose(hidden_states, (0, 2, 3, 4, 1)).astype(dt)  # BTHWC
+        vid = self.proj(x)
+
+        txt_in = encoder_hidden_states.astype(dt)
+        if cfg.add_norm_text_encoder:
+            txt_in = fp32_rms_norm(txt_in, self.text_norm_scale)
+        txt = self.text_proj(txt_in)
+        if encoder_hidden_states_t5 is not None:
+            t5 = encoder_hidden_states_t5.astype(dt)
+            if cfg.add_norm_text_encoder:
+                t5 = fp32_rms_norm(t5, self.text_norm_t5_scale)
+            txt = jnp.concatenate([txt, self.text_proj_t5(t5)], axis=1)
+
+        if ref_latents is not None:
+            rb, rc, rt, rh, rw = ref_latents.shape
+            ref = jnp.transpose(ref_latents, (0, 2, 3, 4, 1)).astype(dt)
+            ref = self.ref_proj(ref)
+            pos = _sincos_2d(cfg.inner_dim, rh // cfg.patch_size,
+                             rw // cfg.patch_size)
+            ref = ref + jnp.asarray(pos, dt)[None]
+            txt = ref
+        if clip_encoder_hidden_states is not None:
+            clip = self.clip_proj(clip_encoder_hidden_states.astype(dt))
+            txt = jnp.concatenate([clip, txt], axis=1)
+        return vid, txt, temb
+
+    def backbone(self, vid, txt, temb, rope=None):
+        """Block stack + final norms + AdaLN-out. Returns video tokens ready
+        for proj_out; `backbone(...) - vid` is the TeaCache residual."""
+        cfg = self.cfg
+        if cfg.scan_layers and cfg.homogeneous:
+            (vid2, txt2), _ = self.blocks((vid, txt), temb, rope)
+        else:
+            vid2, txt2 = vid, txt
+            for block in self.loop_blocks:
+                if cfg.remat:
+                    vid2, txt2 = nn.remat(
+                        lambda m, *a: m(*a), prevent_cse=False
+                    )(block, vid2, txt2, temb, rope)
+                else:
+                    vid2, txt2 = block(vid2, txt2, temb, rope)
+
+        st = txt2.shape[1]
+        joint = jnp.concatenate([txt2, vid2], axis=1)
+        vid2 = fp32_layer_norm(joint, self.norm_final_scale,
+                               self.norm_final_bias, cfg.norm_eps)[:, st:]
+
+        mods = self.norm_out(nn.silu(temb))
+        shift, scale = jnp.split(mods, 2, axis=-1)
+        vid2 = fp32_layer_norm(vid2, self.norm_out_scale, self.norm_out_bias,
+                               cfg.norm_eps)
+        return vid2 * (1 + scale[:, None]) + shift[:, None]
+
+    def head(self, vid_tokens, t: int, h: int, w: int):
+        """proj_out + unpatchify; (t, h, w) are latent-grid sizes."""
+        cfg = self.cfg
+        p = cfg.patch_size
+        out = self.proj_out(vid_tokens)
+        return unpatchify(out, t, h // p, w // p, p, cfg.out_channels)
+
+    def modulated_input(self, vid, txt, temb):
+        """Block-0 norm1 modulation of the video stream -- the TeaCache skip
+        signal (reference transformer3d.py:1563-1590)."""
+        cfg = self.cfg
+        if cfg.scan_layers and cfg.homogeneous:
+            p = self.variables["params"]["blocks"]["block"]
+            sl = lambda x: x[0]
+        else:
+            p = self.variables["params"]["block0"]
+            sl = lambda x: x
+        n1 = p["norm1"]
+        mods = (nn.silu(temb) @ sl(n1["linear"]["kernel"]).astype(temb.dtype)
+                + sl(n1["linear"]["bias"]).astype(temb.dtype))
+        d = cfg.inner_dim
+        shift, scale = mods[:, :d], mods[:, d: 2 * d]
+        normed = fp32_layer_norm(vid, sl(n1["norm_scale"]), sl(n1["norm_bias"]),
+                                 cfg.norm_eps)
+        return normed * (1 + scale[:, None]) + shift[:, None]
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,            # (B, C, T, H, W) latents
+        timestep: jnp.ndarray,                 # (B,)
+        encoder_hidden_states: jnp.ndarray,    # (B, S_txt, text_embed_dim)
+        rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        encoder_hidden_states_t5: Optional[jnp.ndarray] = None,
+        inpaint_latents: Optional[jnp.ndarray] = None,
+        control_latents: Optional[jnp.ndarray] = None,
+        ref_latents: Optional[jnp.ndarray] = None,
+        clip_encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        b, c, t, hh, ww = hidden_states.shape
+        vid, txt, temb = self.embed(
+            hidden_states, timestep, encoder_hidden_states,
+            encoder_hidden_states_t5, inpaint_latents, control_latents,
+            ref_latents, clip_encoder_hidden_states)
+        vid = self.backbone(vid, txt, temb, rope)
+        return self.head(vid, t, hh, ww)
 
 
 def _sincos_2d(dim: int, h: int, w: int):

@@ -68,14 +68,15 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # [block_q, d]
+    q = q_ref[0]  # [block_q, d]; sm_scale pre-folded into q by the wrapper
     k = k_ref[0]  # [block_kv, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s *= sm_scale
 
     if num_kv * block_kv > kv_valid:  # static: some tail tile has padding
+        # unconditional select: measured faster than lax.cond branching,
+        # which defeats Mosaic's pipeline
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
         s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
 
@@ -150,10 +151,11 @@ def _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret):
 
 def _recompute_p(q, k, lse, sm_scale, kv_block_idx, kv_valid, block_kv,
                  need_mask):
-    """Recompute attention probabilities for one (q, kv) tile pair."""
+    """Recompute attention probabilities for one (q, kv) tile pair.
+    q arrives pre-scaled by sm_scale (wrapper folds it in)."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
+    )
     if need_mask:  # static: some tail tile has padding
         col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                + kv_block_idx * block_kv)
@@ -366,9 +368,11 @@ def flash_attention(
     block_q = min(block_q, sq)
     block_kv = min(block_kv, skv)
 
-    qf = q.reshape(b * h, sq, d)
+    # fold sm_scale into q (exact for power-of-two head dims); kernels then
+    # skip a full VPU pass over every (block_q, block_kv) score tile
+    qf = (q * sm_scale).astype(q.dtype).reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
-    of = _flash_attention(qf, kf, vf, sm_scale, kv_valid, block_q, block_kv,
+    of = _flash_attention(qf, kf, vf, 1.0, kv_valid, block_q, block_kv,
                           interpret)
     return of.reshape(b, h, sq, d)

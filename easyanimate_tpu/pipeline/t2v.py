@@ -40,6 +40,12 @@ from .schedulers import (
 )
 
 
+# TeaCache rel-L1 -> skip-score polynomial (reference
+# transformer3d.py:1485-1491 default coefficients; highest degree first)
+TEACACHE_COEFFICIENTS = (
+    -10.47857366, 8.33844143, -0.78477557, 0.68798618, 0.0136149)
+
+
 def build_rope(cfg: MMDiTConfig, height: int, width: int, latent_frames: int,
                vae_scale: Optional[int] = None):
     """RoPE tables for a (height, width, frames) generation
@@ -107,6 +113,7 @@ class EasyAnimatePipeline:
         negative_prompt_embeds_t5: Optional[jnp.ndarray] = None,
         output_type: str = "np",               # 'np' | 'latent'
         decode: bool = True,
+        teacache_threshold: Optional[float] = None,
     ):
         b = prompt_embeds.shape[0]
         do_cfg = guidance_scale > 1.0
@@ -134,7 +141,8 @@ class EasyAnimatePipeline:
                           vae_scale=self.vae_cfg.spatial_compression)
         denoise = self._denoise_fn(
             num_inference_steps, float(guidance_scale),
-            float(guidance_rescale), txt_t5 is not None)
+            float(guidance_rescale), txt_t5 is not None, 0,
+            teacache_threshold)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           {})
 
@@ -167,7 +175,8 @@ class EasyAnimatePipeline:
 
     @functools.lru_cache(maxsize=16)
     def _denoise_fn(self, steps: int, guidance_scale: float,
-                    guidance_rescale: float, has_t5: bool, t_start: int = 0):
+                    guidance_rescale: float, has_t5: bool, t_start: int = 0,
+                    teacache_threshold: Optional[float] = None):
         sched = self.scheduler
         model = self.transformer
         latent_channels = self.vae_cfg.latent_channels
@@ -175,18 +184,70 @@ class EasyAnimatePipeline:
         per_step, sched_extras = self.schedule_arrays(steps, t_start)
         if isinstance(sched, DDIMConfig):
             alphas_cumprod, final_alpha = sched_extras
+        n_steps = per_step.shape[0]
+        # per-step inputs gain a step-index column (for TeaCache endpoints)
+        per_step = jnp.concatenate(
+            [per_step, jnp.arange(n_steps, dtype=jnp.float32)[:, None]], axis=1)
+
+        def forward(params, lat, step, txt, txt_t5, rope, cond, tea_carry):
+            """One transformer eval, optionally TeaCache-gated."""
+            lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
+            t_vec = jnp.full((lat_in.shape[0],), step[0], jnp.float32)
+            if teacache_threshold is None:
+                pred = model.apply(params, lat_in, t_vec, txt, rope,
+                                   encoder_hidden_states_t5=txt_t5, **cond)
+                return pred, tea_carry
+            b, c, t_, hh, ww = lat_in.shape
+            vid0, txt_tok, temb = model.apply(
+                params, lat_in, t_vec, txt,
+                encoder_hidden_states_t5=txt_t5, method="embed", **cond)
+            mod = model.apply(params, vid0, txt_tok, temb,
+                              method="modulated_input")
+            prev_mod, prev_res, acc = tea_carry
+            rel = (jnp.mean(jnp.abs(mod.astype(jnp.float32)
+                                    - prev_mod.astype(jnp.float32)))
+                   / jnp.maximum(jnp.mean(jnp.abs(prev_mod.astype(jnp.float32))),
+                                 1e-8))
+            poly = jnp.polyval(jnp.asarray(TEACACHE_COEFFICIENTS), rel)
+            acc_new = acc + poly
+            idx = step[3]
+            endpoint = (idx == 0) | (idx == n_steps - 1)
+            should = endpoint | (acc_new >= teacache_threshold)
+            acc_out = jnp.where(should, 0.0, acc_new)
+
+            def calc(_):
+                out = model.apply(params, vid0, txt_tok, temb, rope,
+                                  method="backbone")
+                return out, out - vid0
+
+            def skip(_):
+                return vid0 + prev_res, prev_res
+
+            vid_out, res = jax.lax.cond(should, calc, skip, None)
+            pred = model.apply(params, vid_out, t_, hh, ww, method="head")
+            return pred, (mod, res, acc_out)
 
         @jax.jit
         def run(params, latents, txt, txt_t5, rope, cond):
-            def body(lat, step):
+            if teacache_threshold is not None:
+                b = latents.shape[0] * (2 if do_cfg else 1)
+                s_vid = ((latents.shape[3] // self.mmdit_cfg.patch_size)
+                         * (latents.shape[4] // self.mmdit_cfg.patch_size)
+                         * latents.shape[2])
+                zeros = jnp.zeros((b, s_vid, self.mmdit_cfg.inner_dim),
+                                  self.mmdit_cfg.jdtype)
+                tea0 = (zeros, zeros, jnp.zeros((), jnp.float32))
+            else:
+                tea0 = None
+
+            def body(carry, step):
+                lat, tea = carry
                 if isinstance(sched, FlowMatchEulerConfig):
                     t, sigma, sigma_next = step[0], step[1], step[2]
                 else:
                     t, t_prev = step[0].astype(jnp.int32), step[1].astype(jnp.int32)
-                lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
-                t_vec = jnp.full((lat_in.shape[0],), step[0], jnp.float32)
-                pred = model.apply(params, lat_in, t_vec, txt, rope,
-                                   encoder_hidden_states_t5=txt_t5, **cond)
+                pred, tea = forward(params, lat, step, txt, txt_t5, rope,
+                                    cond, tea)
                 if pred.shape[1] != latent_channels:   # learned sigma
                     pred = pred[:, :latent_channels]
                 if do_cfg:
@@ -199,9 +260,9 @@ class EasyAnimatePipeline:
                 else:
                     lat = ddim_step(sched, lat, pred, t, t_prev,
                                     alphas_cumprod, final_alpha)
-                return lat, None
+                return (lat, tea), None
 
-            latents, _ = jax.lax.scan(body, latents, per_step)
+            (latents, _), _ = jax.lax.scan(body, (latents, tea0), per_step)
             return latents
 
         return run

@@ -125,3 +125,34 @@ def test_t2v_ddim_path():
                num_inference_steps=2, guidance_scale=2.0,
                output_type="latent", rng=jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_teacache_never_skip_matches_baseline():
+    """teacache with an always-calc threshold must equal the plain path."""
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    kw = dict(height=h, width=w, video_length=vl, num_inference_steps=3,
+              guidance_scale=3.0, output_type="latent",
+              rng=jax.random.PRNGKey(1))
+    base = pipe(pos, neg, **kw)
+    tea = pipe(pos, neg, teacache_threshold=-1e9, **kw)
+    np.testing.assert_allclose(np.asarray(tea), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_teacache_skipping_path_runs():
+    """A huge threshold makes every interior step reuse the residual."""
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    kw = dict(height=h, width=w, video_length=vl, num_inference_steps=4,
+              guidance_scale=3.0, output_type="latent",
+              rng=jax.random.PRNGKey(1))
+    base = pipe(pos, neg, **kw)
+    tea = pipe(pos, neg, teacache_threshold=1e9, **kw)
+    assert np.isfinite(np.asarray(tea)).all()
+    # interior steps were skipped -> outputs differ from the exact path
+    assert np.abs(np.asarray(tea) - np.asarray(base)).max() > 1e-6
