@@ -1,0 +1,176 @@
+"""Checkpoint loader: reference model directories -> TPU pipelines.
+
+Consumes the same on-disk layout the reference downloads from HF
+(alibaba-pai/EasyAnimateV5.1-*): transformer/config.json +
+diffusion_pytorch_model*.safetensors, vae/..., scheduler/scheduler_config.json
+(predict_t2v.py:91-254 load spine). Weights convert through
+models/convert.py; no torch needed (safetensors numpy).
+"""
+import glob
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models.convert import convert_mmdit_state_dict, convert_vae_state_dict
+from .models.mmdit import EasyAnimateTransformer3D, MMDiTConfig
+from .models.vae import AutoencoderKLMagvit, MagvitVAEConfig
+from .pipeline import (
+    DDIMConfig,
+    EasyAnimateControlPipeline,
+    EasyAnimateInpaintPipeline,
+    EasyAnimatePipeline,
+    FlowMatchEulerConfig,
+)
+
+_PIPELINES = {
+    "t2v": EasyAnimatePipeline,
+    "inpaint": EasyAnimateInpaintPipeline,
+    "control": EasyAnimateControlPipeline,
+}
+
+
+def _read_json(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def _load_safetensors_dir(path: str):
+    from safetensors.numpy import load_file
+
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors under {path}")
+    sd = {}
+    for f in files:
+        sd.update(load_file(f))
+    return sd
+
+
+def mmdit_config_from_json(cfg: dict, dtype: str = "bfloat16") -> MMDiTConfig:
+    """Map a reference transformer config.json to MMDiTConfig."""
+    return MMDiTConfig(
+        num_attention_heads=cfg.get("num_attention_heads", 48),
+        attention_head_dim=cfg.get("attention_head_dim", 64),
+        in_channels=cfg.get("in_channels", 16),
+        out_channels=cfg.get("out_channels", 16),
+        patch_size=cfg.get("patch_size", 2),
+        num_layers=cfg.get("num_layers", 48),
+        mmdit_layers=cfg.get("mmdit_layers", 10000),
+        swa_layers=cfg.get("swa_layers"),
+        time_embed_dim=cfg.get("time_embed_dim", 512),
+        text_embed_dim=cfg.get("text_embed_dim", 3584),
+        text_embed_dim_t5=cfg.get("text_embed_dim_t5"),
+        add_norm_text_encoder=cfg.get("add_norm_text_encoder", False),
+        after_norm=cfg.get("after_norm", False),
+        norm_eps=cfg.get("norm_eps", 1e-5),
+        time_position_encoding_type=cfg.get(
+            "time_position_encoding_type", "3d_rope"),
+        ref_channels=cfg.get("ref_channels"),
+        clip_channels=cfg.get("clip_channels"),
+        add_ref_latent_in_control_model=cfg.get(
+            "add_ref_latent_in_control_model", False),
+        resize_inpaint_mask_directly=cfg.get(
+            "resize_inpaint_mask_directly", True),
+        add_noise_in_inpaint_model=cfg.get("add_noise_in_inpaint_model", True),
+        dtype=dtype,
+    )
+
+
+def vae_config_from_json(cfg: dict, dtype: str = "bfloat16") -> MagvitVAEConfig:
+    chunk_mode = "none"
+    if cfg.get("cache_mag_vae"):
+        chunk_mode = "cache_mag"
+    elif cfg.get("slice_mag_vae"):
+        chunk_mode = "slice_mag"
+    return MagvitVAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        out_channels=cfg.get("out_channels", 3),
+        latent_channels=cfg.get("latent_channels", 16),
+        block_out_channels=tuple(cfg.get("block_out_channels",
+                                         (128, 256, 512, 512))),
+        down_block_types=tuple(_parse_types(cfg.get("down_block_types"))),
+        up_block_types=tuple(_parse_types(cfg.get("up_block_types"))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        mid_block_attention_type=cfg.get("mid_block_attention_type", "spatial"),
+        mid_block_use_attention=cfg.get("mid_block_use_attention", True),
+        spatial_group_norm=cfg.get("spatial_group_norm", True),
+        mini_batch_encoder=cfg.get("mini_batch_encoder", 4),
+        mini_batch_decoder=cfg.get("mini_batch_decoder", 1),
+        scaling_factor=cfg.get("scaling_factor", 0.7119),
+        chunk_mode=chunk_mode,
+        tile_sample_min_size=cfg.get("tile_sample_min_size", 384),
+        tile_overlap_factor=cfg.get("tile_overlap_factor", 0.25),
+        dtype=dtype,
+    )
+
+
+def _parse_types(v):
+    if v is None:
+        return ("SpatialDownBlock3D", "SpatialTemporalDownBlock3D",
+                "SpatialTemporalDownBlock3D", "SpatialTemporalDownBlock3D")
+    if isinstance(v, str):  # the reference stores a python-tuple string
+        return tuple(x.strip().strip("'\"")
+                     for x in v.strip("()").split(",") if x.strip())
+    return tuple(v)
+
+
+def load_pipeline(
+    model_path: str,
+    pipeline_type: str = "t2v",
+    dtype: str = "bfloat16",
+    fp8_weights: bool = False,
+    scheduler: Optional[str] = None,
+):
+    """Build a ready pipeline from a reference-format model directory."""
+    tcfg_json = _read_json(os.path.join(model_path, "transformer", "config.json"))
+    vcfg_json = _read_json(os.path.join(model_path, "vae", "config.json"))
+    mmdit_cfg = mmdit_config_from_json(tcfg_json, dtype)
+    vae_cfg = vae_config_from_json(vcfg_json, dtype)
+
+    transformer = EasyAnimateTransformer3D(mmdit_cfg)
+    vae = AutoencoderKLMagvit(vae_cfg)
+
+    tsd = _load_safetensors_dir(os.path.join(model_path, "transformer"))
+    vsd = _load_safetensors_dir(os.path.join(model_path, "vae"))
+    tparams = convert_mmdit_state_dict(tsd, mmdit_cfg)
+    vparams = convert_vae_state_dict(vsd, vae_cfg)
+    cast = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    to_dev = lambda t: jnp.asarray(t, cast if t.ndim >= 2 else jnp.float32)
+    if fp8_weights:
+        to_dev = lambda t: jnp.asarray(
+            t, jnp.float8_e4m3fn if t.ndim >= 2 else jnp.float32)
+    import jax
+
+    tparams = jax.tree.map(to_dev, tparams)
+    vparams = jax.tree.map(lambda t: jnp.asarray(t, cast if np.ndim(t) >= 2
+                                                 else jnp.float32), vparams)
+
+    sched_path = os.path.join(model_path, "scheduler", "scheduler_config.json")
+    if scheduler == "flow" or (scheduler is None and os.path.exists(sched_path)
+                               and "FlowMatch" in _read_json(sched_path).get(
+                                   "_class_name", "")):
+        scfg = _read_json(sched_path) if os.path.exists(sched_path) else {}
+        sched = FlowMatchEulerConfig(
+            num_train_timesteps=scfg.get("num_train_timesteps", 1000),
+            shift=scfg.get("shift", 3.0),
+            use_dynamic_shifting=scfg.get("use_dynamic_shifting", True),
+        )
+    elif scheduler == "ddim" or scheduler is None:
+        scfg = _read_json(sched_path) if os.path.exists(sched_path) else {}
+        sched = DDIMConfig(
+            num_train_timesteps=scfg.get("num_train_timesteps", 1000),
+            beta_start=scfg.get("beta_start", 0.0001),
+            beta_end=scfg.get("beta_end", 0.02),
+            beta_schedule=scfg.get("beta_schedule", "scaled_linear"),
+            prediction_type=scfg.get("prediction_type", "epsilon"),
+        )
+    else:
+        sched = FlowMatchEulerConfig()
+
+    cls = _PIPELINES[pipeline_type]
+    return cls(transformer=transformer, vae=vae, transformer_params=tparams,
+               vae_params=vparams, scheduler=sched)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .flash_attention import flash_attention
 
-_BLOCK = 256
+_BLOCK = 512  # measured fastest on v5e at 13k tokens (44 TF/s vs 23 at 256)
 
 
 def _use_pallas() -> bool:

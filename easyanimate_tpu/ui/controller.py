@@ -1,0 +1,182 @@
+"""Generation controller + sliding-window long video.
+
+Parity target: easyanimate/ui/ui.py EasyAnimateController --
+  generate() dispatch over T2V / I2V / V2V (:368-680)
+  model / LoRA hot-swapping (:106-366)
+  sliding-window long video: generate `partial_video_length` frames, blend
+  `overlap_video_length` overlap linearly, feed the tail frames as the next
+  chunk's start condition (:485-546).
+The gradio front-end is optional (not present in this image); the controller
+is UI-agnostic and also backs the HTTP API (api/server.py).
+"""
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pipeline import EasyAnimateInpaintPipeline, EasyAnimatePipeline
+from ..training.lora import LoRAConfig, load_lora, merge_lora, unmerge_lora
+from ..utils.media import get_image_to_video_latent
+
+
+@dataclasses.dataclass
+class EasyAnimateController:
+    pipeline: EasyAnimatePipeline
+    # text -> (embeds, mask); plug a Qwen2TextEncoder closure or leave None
+    # to accept precomputed embeddings
+    encode_text: Optional[Callable] = None
+    lora_cfg: Optional[LoRAConfig] = None
+    _lora_merged: bool = dataclasses.field(default=False, init=False)
+    _lora: Optional[dict] = dataclasses.field(default=None, init=False)
+
+    # -- model management ---------------------------------------------------
+
+    def update_diffusion_transformer(self, path: str):
+        from ..loader import load_pipeline
+
+        new = load_pipeline(path, pipeline_type="inpaint"
+                            if isinstance(self.pipeline,
+                                          EasyAnimateInpaintPipeline)
+                            else "t2v")
+        self.pipeline = new
+
+    def update_edition(self, edition: str):
+        raise NotImplementedError(
+            "edition switching requires local checkpoints for " + edition)
+
+    def update_lora(self, path: Optional[str], scale: float = 1.0):
+        """Merge (or clear) a LoRA into the live transformer params."""
+        if self._lora_merged:
+            self.pipeline.transformer_params = {
+                "params": unmerge_lora(
+                    self.pipeline.transformer_params["params"], self._lora,
+                    self.lora_cfg)}
+            self._lora_merged = False
+        if path:
+            self._lora, self.lora_cfg = load_lora(path)
+            self.pipeline.transformer_params = {
+                "params": merge_lora(
+                    self.pipeline.transformer_params["params"], self._lora,
+                    self.lora_cfg, scale=scale)}
+            self._lora_merged = True
+
+    # -- generation -----------------------------------------------------------
+
+    def _embeds(self, prompt, negative_prompt, batch=1):
+        if self.encode_text is None:
+            raise ValueError("no text encoder attached; pass prompt embeds "
+                             "to the pipeline directly")
+        pos, _ = self.encode_text(prompt)
+        neg, _ = self.encode_text(negative_prompt or "")
+        return pos, neg
+
+    def generate(
+        self,
+        prompt: str = "",
+        negative_prompt: str = "",
+        sample_steps: int = 25,
+        width: int = 672,
+        height: int = 384,
+        video_length: int = 49,
+        cfg_scale: float = 6.0,
+        seed: int = 43,
+        generation_method: str = "Video Generation",
+        start_image: Optional[np.ndarray] = None,
+        end_image: Optional[np.ndarray] = None,
+        source_video: Optional[np.ndarray] = None,
+        denoise_strength: float = 0.7,
+        **kw,
+    ) -> np.ndarray:
+        pos, neg = self._embeds(prompt, negative_prompt)
+        rng = jax.random.PRNGKey(seed)
+        if generation_method == "Image Generation":
+            video_length = 1
+        if start_image is None and source_video is None:
+            return self.pipeline(
+                pos, neg, height=height, width=width,
+                video_length=video_length, num_inference_steps=sample_steps,
+                guidance_scale=cfg_scale, rng=rng, **kw)
+        assert isinstance(self.pipeline, EasyAnimateInpaintPipeline), \
+            "image/video conditioning needs an inpaint pipeline"
+        if source_video is not None:
+            video = jnp.asarray(source_video)
+            mask = jnp.ones((1, 1, video.shape[2], height, width))
+            strength = denoise_strength
+        else:
+            v, m = get_image_to_video_latent(
+                _chw(start_image), _chw(end_image) if end_image is not None
+                else None, video_length, (height, width))
+            video, mask, strength = jnp.asarray(v), jnp.asarray(m), 1.0
+        return self.pipeline(
+            pos, neg, video=video, mask_video=mask, strength=strength,
+            height=height, width=width, video_length=video_length,
+            num_inference_steps=sample_steps, guidance_scale=cfg_scale,
+            rng=rng, **kw)
+
+
+def _chw(img):
+    if img is None:
+        return None
+    return img  # media helpers accept arrays/paths/PIL
+
+
+def generate_long_video(
+    pipeline: EasyAnimateInpaintPipeline,
+    prompt_embeds,
+    negative_prompt_embeds,
+    *,
+    total_length: int,
+    partial_video_length: int = 49,
+    overlap_video_length: int = 4,
+    height: int = 384,
+    width: int = 672,
+    start_image: Optional[np.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    **pipe_kw,
+) -> np.ndarray:
+    """Sliding-window long-video generation with linear overlap blending
+    (reference ui.py:485-546). Returns (1, C, total, H, W) in [0, 1]."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    chunks = []
+    init_frames = 0
+    last_tail = None
+    out: Optional[np.ndarray] = None
+    while init_frames < total_length:
+        remaining = total_length - init_frames
+        if out is not None:
+            remaining += overlap_video_length  # regenerate the blend region
+        this_len = min(partial_video_length, remaining)
+        this_len = ((max(this_len - 1, 0)) // 4) * 4 + 1  # 4k+1 constraint
+        if this_len <= 1 and out is not None:
+            break
+        video = np.zeros((1, 3, this_len, height, width), np.float32)
+        mask = np.ones((1, 1, this_len, height, width), np.float32)
+        if last_tail is not None:
+            n = last_tail.shape[2]
+            video[:, :, :n] = last_tail
+            mask[:, :, :n] = 0.0
+        elif start_image is not None:
+            video[0, :, 0] = start_image
+            mask[:, :, 0] = 0.0
+        rng, sub = jax.random.split(rng)
+        sample = pipeline(
+            prompt_embeds, negative_prompt_embeds,
+            video=jnp.asarray(video), mask_video=jnp.asarray(mask),
+            height=height, width=width, video_length=this_len,
+            rng=sub, **pipe_kw)
+        sample = np.asarray(sample)
+        if out is None:
+            out = sample
+        else:
+            n = overlap_video_length
+            w_new = np.linspace(0, 1, n).reshape(1, 1, n, 1, 1)
+            blended = out[:, :, -n:] * (1 - w_new) + sample[:, :, :n] * w_new
+            out = np.concatenate(
+                [out[:, :, :-n], blended, sample[:, :, n:]], axis=2)
+        last_tail = out[:, :, -overlap_video_length:]
+        init_frames = out.shape[2]
+        chunks.append(sample)
+    return out[:, :, :total_length]

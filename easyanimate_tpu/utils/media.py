@@ -1,0 +1,130 @@
+"""Video/image IO helpers + I2V/V2V input builders.
+
+Parity target: easyanimate/utils/utils.py --
+  save_videos_grid (:49-73)              gif/mp4 export of (B,C,T,H,W) videos
+  get_image_to_video_latent (:75-169)    start/end images -> input video+mask
+  get_video_to_video_latent (:171-222)   source video -> input video+mask
+Host-side numpy/imageio; no torch.
+"""
+import os
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+
+def _to_thwc_uint8(video: np.ndarray, rescale: bool = False) -> np.ndarray:
+    """(C,T,H,W) float -> (T,H,W,C) uint8."""
+    v = np.asarray(video)
+    if rescale:
+        v = v / 2 + 0.5
+    v = np.clip(v, 0, 1)
+    return (np.transpose(v, (1, 2, 3, 0)) * 255).astype(np.uint8)
+
+
+def save_videos_grid(videos: np.ndarray, path: str, fps: int = 8,
+                     rescale: bool = False):
+    """videos (B,C,T,H,W) in [0,1] (or [-1,1] with rescale) -> mp4/gif."""
+    import imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    b = videos.shape[0]
+    frames_per_t = [
+        np.concatenate([_to_thwc_uint8(videos[i], rescale)[t] for i in range(b)],
+                       axis=1)
+        for t in range(videos.shape[2])
+    ]
+    if path.endswith(".gif"):
+        imageio.mimsave(path, frames_per_t, duration=1000 / fps, loop=0)
+        return
+    try:
+        imageio.mimsave(path, frames_per_t, fps=fps)
+    except Exception:
+        # no ffmpeg backend in this image; cv2 ships its own codecs
+        import cv2
+
+        h, w = frames_per_t[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        for f in frames_per_t:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+
+
+def _load_and_resize(image, size: Tuple[int, int]) -> np.ndarray:
+    """image path/PIL/array -> (H, W, 3) float32 in [0, 1]."""
+    from PIL import Image
+
+    if isinstance(image, str):
+        image = Image.open(image).convert("RGB")
+    if not isinstance(image, np.ndarray):
+        image = image.convert("RGB").resize((size[1], size[0]), Image.LANCZOS)
+        return np.asarray(image, np.float32) / 255.0
+    from PIL import Image as PILImage
+
+    img = PILImage.fromarray(np.asarray(image, np.uint8))
+    img = img.resize((size[1], size[0]), PILImage.LANCZOS)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def get_image_to_video_latent(
+    validation_image_start,
+    validation_image_end,
+    video_length: int,
+    sample_size: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build (input_video, input_video_mask) for the inpaint pipeline.
+
+    Returns video (1,C,T,H,W) in [0,1] and mask (1,1,T,H,W) in {0,1} where
+    1 marks frames to generate (reference uses 255).
+    """
+    h, w = sample_size
+    video = np.zeros((1, 3, video_length, h, w), np.float32)
+    mask = np.ones((1, 1, video_length, h, w), np.float32)
+    if validation_image_start is not None:
+        start = _load_and_resize(validation_image_start, sample_size)
+        video[0, :, 0] = np.transpose(start, (2, 0, 1))
+        mask[0, :, 0] = 0.0
+    if validation_image_end is not None and video_length > 1:
+        end = _load_and_resize(validation_image_end, sample_size)
+        video[0, :, -1] = np.transpose(end, (2, 0, 1))
+        mask[0, :, -1] = 0.0
+    return video, mask
+
+
+def get_video_to_video_latent(
+    input_video: Union[str, np.ndarray],
+    video_length: int,
+    sample_size: Tuple[int, int],
+    validation_video_mask: Optional[np.ndarray] = None,
+    fps: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Source video -> (video (1,C,T,H,W) [0,1], mask (1,1,T,H,W))."""
+    if isinstance(input_video, str):
+        import imageio
+
+        reader = imageio.get_reader(input_video)
+        frames = [f for _, f in zip(range(video_length), reader)]
+        reader.close()
+        arr = np.stack(frames)
+    else:
+        arr = np.asarray(input_video)[:video_length]
+    arr = _resize_frames(arr, sample_size)
+    t = arr.shape[0]
+    video = np.zeros((1, 3, video_length, *sample_size), np.float32)
+    video[0, :, :t] = np.transpose(arr, (3, 0, 1, 2))
+    if validation_video_mask is not None:
+        mask = np.asarray(validation_video_mask, np.float32)[None, None]
+        mask = np.repeat(mask[:, :, None], video_length, axis=2)
+    else:
+        mask = np.ones((1, 1, video_length, *sample_size), np.float32)
+    return video, mask
+
+
+def _resize_frames(frames: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    h, w = size
+    out = np.empty((frames.shape[0], h, w, 3), np.float32)
+    for i, f in enumerate(frames):
+        img = Image.fromarray(np.asarray(f, np.uint8)).convert("RGB")
+        out[i] = np.asarray(img.resize((w, h), Image.LANCZOS), np.float32) / 255
+    return out

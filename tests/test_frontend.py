@@ -1,0 +1,110 @@
+"""Front-end layer tests: media IO, HTTP API protocol, long-video windowing."""
+import dataclasses
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easyanimate_tpu.api.server import (
+    EasyAnimateAPIServer,
+    encode_video_b64,
+    infer_forward,
+)
+from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
+from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
+from easyanimate_tpu.pipeline import EasyAnimateInpaintPipeline
+from easyanimate_tpu.ui.controller import EasyAnimateController, generate_long_video
+from easyanimate_tpu.utils.media import (
+    get_image_to_video_latent,
+    save_videos_grid,
+)
+
+TINY_VAE = MagvitVAEConfig(
+    latent_channels=4,
+    block_out_channels=(8, 16),
+    down_block_types=("SpatialTemporalDownBlock3D", "SpatialDownBlock3D"),
+    up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+    mini_batch_encoder=2,
+    mini_batch_decoder=1,
+    scaling_factor=0.5,
+)
+
+
+def _tiny_inpaint_pipe():
+    cfg = dataclasses.replace(PRESETS["tiny"], in_channels=9, out_channels=4)
+    transformer = EasyAnimateTransformer3D(cfg)
+    vae = AutoencoderKLMagvit(TINY_VAE)
+    lat = jnp.zeros((1, 4, 2, 16, 16))
+    inp = jnp.zeros((1, 5, 2, 16, 16))
+    txt = jnp.zeros((1, 6, cfg.text_embed_dim))
+    tp = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                          None, inpaint_latents=inp)
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    return EasyAnimateInpaintPipeline(
+        transformer=transformer, vae=vae, transformer_params=tp,
+        vae_params=vp), cfg
+
+
+def test_save_videos_grid_mp4_and_gif(tmp_path, rng):
+    video = rng.random((1, 3, 4, 16, 16)).astype(np.float32)
+    save_videos_grid(video, str(tmp_path / "out.gif"), fps=4)
+    save_videos_grid(video, str(tmp_path / "out.mp4"), fps=4)
+    assert (tmp_path / "out.gif").stat().st_size > 0
+    assert (tmp_path / "out.mp4").stat().st_size > 0
+
+
+def test_get_image_to_video_latent(rng):
+    start = (rng.random((20, 24, 3)) * 255).astype(np.uint8)
+    video, mask = get_image_to_video_latent(start, None, 5, (16, 16))
+    assert video.shape == (1, 3, 5, 16, 16)
+    assert mask[0, 0, 0].max() == 0.0 and mask[0, 0, 1].min() == 1.0
+
+
+class _FakeController:
+    def generate(self, **kw):
+        self.last = kw
+        t = kw["video_length"]
+        return np.zeros((1, 3, t, kw["height"], kw["width"]), np.float32)
+
+
+def test_infer_forward_protocol():
+    ctl = _FakeController()
+    out = infer_forward(ctl, {"prompt_textbox": "a cat", "length_slider": 5,
+                              "width_slider": 32, "height_slider": 32})
+    assert out["message"] == "Success"
+    assert len(out["base64_encoding"]) > 0
+    assert ctl.last["prompt"] == "a cat"
+
+
+def test_http_server_roundtrip():
+    ctl = _FakeController()
+    srv = EasyAnimateAPIServer(ctl)
+    srv.serve(port=8765, background=True)
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:8765/easyanimate/infer_forward",
+            data=json.dumps({"prompt_textbox": "x", "length_slider": 5,
+                             "width_slider": 32, "height_slider": 32}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["message"] == "Success"
+    finally:
+        srv.shutdown()
+
+
+def test_generate_long_video(rng):
+    pipe, cfg = _tiny_inpaint_pipe()
+    pos = jnp.asarray(rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    out = generate_long_video(
+        pipe, pos, neg, total_length=8, partial_video_length=5,
+        overlap_video_length=2, height=16, width=16,
+        num_inference_steps=2, guidance_scale=2.0)
+    assert out.shape == (1, 3, 8, 16, 16)
+    assert np.isfinite(out).all()
