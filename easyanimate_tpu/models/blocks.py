@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..ops.attention import attention as attention_op
 from ..ops.norms import fp32_layer_norm
 from ..ops.rope import apply_rotary_emb
+from ..ops.swa import swa_joint_attention
 
 
 class LayerNormZero(nn.Module):
@@ -100,12 +101,14 @@ class MMDiTBlock(nn.Module):
     qk_norm: bool = True
     after_norm: bool = False
     is_mmdit: bool = True
+    is_swa: bool = False
     norm_eps: float = 1e-6
     attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, vid, txt, temb, rope: Optional[Tuple] = None):
+    def __call__(self, vid, txt, temb, rope: Optional[Tuple] = None,
+                 grid_size: Optional[Tuple[int, int, int]] = None):
         b, sv, _ = vid.shape
         st = txt.shape[1]
 
@@ -135,7 +138,12 @@ class MMDiTBlock(nn.Module):
         q = jnp.concatenate([qt, qv], axis=2)
         k = jnp.concatenate([kt, kv], axis=2)
         v = jnp.concatenate([vt, vv], axis=2)
-        o = attention_op(q, k, v, impl=self.attn_impl)
+        if self.is_swa:
+            gf, gh, gw = grid_size
+            o = swa_joint_attention(q, k, v, text_len=st, num_frames=gf,
+                                    height=gh, width=gw, impl=self.attn_impl)
+        else:
+            o = attention_op(q, k, v, impl=self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, st + sv, self.num_heads * self.head_dim)
         o_txt, o_vid = o[:, :st], o[:, st:]
 

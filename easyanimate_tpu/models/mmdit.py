@@ -153,9 +153,10 @@ class EasyAnimateTransformer3D(nn.Module):
                 length=cfg.num_layers,
             )(block_kwargs=block_kwargs)
         else:
+            swa = set(cfg.swa_layers or ())
             self.loop_blocks = [
                 MMDiTBlock(**block_kwargs, is_mmdit=i < cfg.mmdit_layers,
-                           name=f"block{i}")
+                           is_swa=i in swa, name=f"block{i}")
                 for i in range(cfg.num_layers)
             ]
 
@@ -221,7 +222,7 @@ class EasyAnimateTransformer3D(nn.Module):
             txt = jnp.concatenate([clip, txt], axis=1)
         return vid, txt, temb
 
-    def backbone(self, vid, txt, temb, rope=None):
+    def backbone(self, vid, txt, temb, rope=None, grid_size=None):
         """Block stack + final norms + AdaLN-out. Returns video tokens ready
         for proj_out; `backbone(...) - vid` is the TeaCache residual."""
         cfg = self.cfg
@@ -232,10 +233,10 @@ class EasyAnimateTransformer3D(nn.Module):
             for block in self.loop_blocks:
                 if cfg.remat:
                     vid2, txt2 = nn.remat(
-                        lambda m, *a: m(*a), prevent_cse=False
-                    )(block, vid2, txt2, temb, rope)
+                        lambda m, *a: m(*a), prevent_cse=False, static_argnums=(5,)
+                    )(block, vid2, txt2, temb, rope, grid_size)
                 else:
-                    vid2, txt2 = block(vid2, txt2, temb, rope)
+                    vid2, txt2 = block(vid2, txt2, temb, rope, grid_size)
 
         st = txt2.shape[1]
         joint = jnp.concatenate([txt2, vid2], axis=1)
@@ -291,7 +292,9 @@ class EasyAnimateTransformer3D(nn.Module):
             hidden_states, timestep, encoder_hidden_states,
             encoder_hidden_states_t5, inpaint_latents, control_latents,
             ref_latents, clip_encoder_hidden_states)
-        vid = self.backbone(vid, txt, temb, rope)
+        p = self.cfg.patch_size
+        vid = self.backbone(vid, txt, temb, rope,
+                            grid_size=(t, hh // p, ww // p))
         return self.head(vid, t, hh, ww)
 
 

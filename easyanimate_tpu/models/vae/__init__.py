@@ -19,3 +19,7 @@ __all__ = [
     "vae_decode",
     "vae_encode",
 ]
+
+from .magvit import smooth_output, vae_decode_tiled, vae_encode_tiled  # noqa: E402
+
+__all__ += ["smooth_output", "vae_decode_tiled", "vae_encode_tiled"]

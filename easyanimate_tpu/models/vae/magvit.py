@@ -286,6 +286,123 @@ def vae_decode(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Spatial tiling (reference autoencoder_magvit.py:339-448) + seam smoothing
+# ---------------------------------------------------------------------------
+
+
+def _blend_v(a, b, extent):
+    """Blend bottom rows of a into top rows of b along H (axis 2, BTHWC)."""
+    extent = min(a.shape[2], b.shape[2], extent)
+    w = (jnp.arange(extent) / extent).reshape(1, 1, extent, 1, 1).astype(b.dtype)
+    mixed = a[:, :, -extent:] * (1 - w) + b[:, :, :extent] * w
+    return b.at[:, :, :extent].set(mixed)
+
+
+def _blend_h(a, b, extent):
+    extent = min(a.shape[3], b.shape[3], extent)
+    w = (jnp.arange(extent) / extent).reshape(1, 1, 1, extent, 1).astype(b.dtype)
+    mixed = a[:, :, :, -extent:] * (1 - w) + b[:, :, :, :extent] * w
+    return b.at[:, :, :, :extent].set(mixed)
+
+
+def _tiled(apply_chunked, x, tile_in: int, tile_out: int,
+           overlap_factor: float):
+    """Shared tiled evaluation: overlapping input tiles, linear seam blends."""
+    overlap = int(tile_in * (1 - overlap_factor))
+    blend = int(tile_out * overlap_factor)
+    limit = tile_out - blend
+    rows = []
+    for i in range(0, x.shape[2], overlap):
+        row = []
+        for j in range(0, x.shape[3], overlap):
+            row.append(apply_chunked(
+                x[:, :, i: i + tile_in, j: j + tile_in]))
+        rows.append(row)
+    out_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend)
+            out_row.append(tile[:, :, :limit, :limit])
+        out_rows.append(jnp.concatenate(out_row, axis=3))
+    return jnp.concatenate(out_rows, axis=2)
+
+
+def vae_encode_tiled(vae: AutoencoderKLMagvit, params, video: jnp.ndarray,
+                     channels_first: bool = True) -> jnp.ndarray:
+    """Spatially tiled encode for resolutions above tile_sample_min_size."""
+    cfg = vae.cfg
+    if channels_first:
+        video = jnp.transpose(video, (0, 2, 3, 4, 1))
+    tile_in = cfg.tile_sample_min_size
+    tile_out = tile_in // cfg.spatial_compression
+    apply_fn = lambda x, c: vae.apply(params, x, c, method=vae.encode_chunk)
+    run = lambda tile: _run_chunk_mode(apply_fn, tile, cfg,
+                                       cfg.mini_batch_encoder)
+    moments = _tiled(run, video, tile_in, tile_out, cfg.tile_overlap_factor)
+    if channels_first:
+        moments = jnp.transpose(moments, (0, 4, 1, 2, 3))
+    return moments
+
+
+def vae_decode_tiled(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
+                     channels_first: bool = True) -> jnp.ndarray:
+    """Tiled decode with the reference's lower-right corner re-decode
+    (autoencoder_magvit.py:419-443)."""
+    cfg = vae.cfg
+    if channels_first:
+        latents = jnp.transpose(latents, (0, 2, 3, 4, 1))
+    tile_out_px = cfg.tile_sample_min_size
+    tile_in = tile_out_px // cfg.spatial_compression
+    apply_fn = lambda z, c: vae.apply(params, z, c, method=vae.decode_chunk)
+    run = lambda tile: _run_chunk_mode(apply_fn, tile, cfg,
+                                       cfg.mini_batch_decoder)
+    dec = _tiled(run, latents, tile_in, tile_out_px, cfg.tile_overlap_factor)
+
+    # lower-right corner: re-decode a corner-aligned tile, min(x,y) ramp blend
+    corner = run(latents[:, :, -tile_in:, -tile_in:])
+    hh, ww = corner.shape[2], corner.shape[3]
+    xw = jnp.tile(jnp.linspace(0, 1, ww)[None, :], (hh, 1))
+    yw = jnp.tile(jnp.linspace(0, 1, hh)[:, None], (1, ww))
+    w = jnp.minimum(xw, yw).reshape(1, 1, hh, ww, 1).astype(dec.dtype)
+    area = dec[:, :, -hh:, -ww:]
+    dec = dec.at[:, :, -hh:, -ww:].set(w * corner + (1 - w) * area)
+    if channels_first:
+        dec = jnp.transpose(dec, (0, 4, 1, 2, 3))
+    return dec
+
+
+def _run_chunk_mode(apply_fn, x, cfg, chunk):
+    if cfg.chunk_mode == "cache_mag":
+        return _chunked_apply(apply_fn, x, chunk)
+    if cfg.chunk_mode == "slice_mag":
+        return _slice_apply(apply_fn, x, chunk)
+    return apply_fn(x, None)[0]
+
+
+def smooth_output(vae: AutoencoderKLMagvit, params, video: jnp.ndarray,
+                  channels_first: bool = True) -> jnp.ndarray:
+    """Slice-mode chunk-seam smoothing: re-encode/decode the video shifted by
+    half a chunk and average (pipeline_easyanimate.py:706-742)."""
+    cfg = vae.cfg
+    mbe = cfg.mini_batch_encoder
+    t_axis = 2 if channels_first else 1
+    if video.shape[t_axis] <= mbe:
+        return video
+    before = mbe // 2
+    after = mbe - before
+    sl = (slice(None),) * t_axis + (slice(before, -after),)
+    middle = video[sl]
+    moments = vae_encode(vae, params, middle, channels_first)
+    z = gaussian_mode(moments, axis=1 if channels_first else -1)
+    redec = vae_decode(vae, params, z, channels_first)
+    return video.at[sl].set((middle + redec) / 2)
+
+
+# ---------------------------------------------------------------------------
 # Diagonal Gaussian
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,237 @@
+"""Sliding-window sparse attention (SWA) for V5.1 `swa_layers`.
+
+Parity target: EasyAnimateSWAttnProcessor2_0 (processor.py:320-459):
+  - a global "cross" pass: every query attends to text tokens + a strided
+    subset of video kv (total ~cross_attention_size)
+  - a local pass: heads are split into 6 groups, each viewing the video
+    tokens in a different (f, h, w) axis order; flash attention with a
+    +-window (window = tokens per frame) in that order
+  - outputs summed: video_out = local + cross; text_out doubled cross
+    (the reference adds cross_hidden_states to the concat -- kept verbatim)
+
+TPU kernel: for each q tile, only kv tiles whose *virtual* window range
+intersects it are visited -- the kv grid axis enumerates window offsets and
+the BlockSpec index map clamps the address while the in-kernel mask works in
+virtual coordinates, so clamped (duplicate) tiles contribute nothing.
+O(seq * window) instead of O(seq^2).
+"""
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flash_attention import DEFAULT_MASK_VALUE, MIN_LANES, _lane_broadcast
+
+
+def _swa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                *, window: int, block_q: int, block_kv: int, num_off: int,
+                kv_len: int):
+    jj = pl.program_id(2)
+    i = pl.program_id(1)
+
+    @pl.when(jj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # virtual kv start for this offset slot (may be out of range / clamped)
+    virt = i * block_q + (jj - num_off // 2) * block_kv
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + virt
+    ok = (col >= 0) & (col < kv_len) & (jnp.abs(row - col) <= window)
+    s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_curr = jnp.max(s, axis=1)[:, None]
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
+    # fully-masked tiles: p rows are exp(MASK - m) ~ 0; harmless
+    l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+    m_scr[:] = m_next
+    l_scr[:] = l_next
+    v = v_ref[0]
+    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    d = acc_scr.shape[-1]
+    acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
+
+    @pl.when(jj == num_off - 1)
+    def _store():
+        l = l_scr[:]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[:] * _lane_broadcast(l_inv, d)).astype(o_ref.dtype)
+
+
+def sliding_window_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+    window: int,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bidirectional +-window attention over [B, H, S, D] (inference path)."""
+    b, h, s, d = q.shape
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    block_q = min(block_q, _round_up(s, 128))
+    block_kv = min(block_kv, _round_up(s, 128))
+    sp = _round_up(s, max(block_q, block_kv))
+    pad = sp - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qf = (q * sm_scale).astype(q.dtype).reshape(b * h, sp, d)
+    kf = k.reshape(b * h, sp, d)
+    vf = v.reshape(b * h, sp, d)
+
+    nq = sp // block_q
+    # offsets covering [i*bq - window, i*bq + bq + window)
+    num_off = -(-(block_q + 2 * window) // block_kv) + 1
+
+    def kv_index(bh, i, jj):
+        virt = i * block_q + (jj - num_off // 2) * block_kv
+        virt = jnp.clip(virt, 0, sp - block_kv)
+        return (bh, virt // block_kv, 0)
+
+    kernel = functools.partial(
+        _swa_kernel, window=window, block_q=block_q, block_kv=block_kv,
+        num_off=num_off, kv_len=s)
+    of = pl.pallas_call(
+        kernel,
+        grid=(b * h, nq, num_off),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, jj: (bh, i, 0)),
+            pl.BlockSpec((1, block_kv, d), kv_index),
+            pl.BlockSpec((1, block_kv, d), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, jj: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    o = of.reshape(b, h, sp, d)
+    return o[:, :, :s] if pad else o
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def swa_reference(q, k, v, window: int, sm_scale: Optional[float] = None):
+    """Dense jnp reference for tests: mask |i-j| > window."""
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    n = q.shape[2]
+    idx = jnp.arange(n)
+    mask = jnp.abs(idx[:, None] - idx[None, :]) <= window
+    s = jnp.where(mask[None, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# The 6-direction SWA composition (reference processor.py:398-436)
+# ---------------------------------------------------------------------------
+
+_AXIS_ORDERS = (
+    None,            # group 0: native (f, h, w)
+    (0, 2, 1),       # (f, w, h)
+    (1, 0, 2),       # (h, f, w)
+    (1, 2, 0),       # (h, w, f)
+    (2, 0, 1),       # (w, f, h)
+    (2, 1, 0),       # (w, h, f)
+)
+
+
+def _permute_tokens(x, f, h, w, order, inverse=False):
+    """x [B, Hd, f*h*w, D] -> tokens reordered by the given (f,h,w) axis
+    permutation."""
+    if order is None:
+        return x
+    b, nh, s, d = x.shape
+    sizes = (f, h, w)
+    if not inverse:
+        grid = x.reshape(b, nh, f, h, w, d)
+        grid = grid.transpose(0, 1, *(2 + a for a in order), 5)
+    else:
+        # tokens arrive in permuted order: dims are sizes[order[i]]
+        grid = x.reshape(b, nh, *(sizes[a] for a in order), d)
+        inv = [0] * 3
+        for pos, a in enumerate(order):
+            inv[a] = pos
+        grid = grid.transpose(0, 1, *(2 + p for p in inv), 5)
+    return grid.reshape(b, nh, s, d)
+
+
+def swa_joint_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    *,
+    text_len: int,
+    num_frames: int, height: int, width: int,
+    cross_attention_size: int = 1024,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """SWA over joint (text, video) tokens [B, H, S, D] -> same shape.
+
+    window = height*width (one frame of tokens) in each of 6 axis orders,
+    head groups split evenly; plus the strided global cross pass.
+    """
+    b, nh, s, d = q.shape
+    interpret = impl == "pallas_interpret" or (
+        impl == "auto" and jax.default_backend() != "tpu")
+    window = height * width
+
+    # global cross pass: all queries vs text + strided video kv
+    interval = max((s - text_len) // max(cross_attention_size - text_len, 1), 1)
+    ck = jnp.concatenate([k[:, :, :text_len], k[:, :, text_len::interval]], axis=2)
+    cv = jnp.concatenate([v[:, :, :text_len], v[:, :, text_len::interval]], axis=2)
+    from .attention import attention as dense_attention
+
+    cross = dense_attention(q, ck, cv,
+                            impl="xla" if interpret else "pallas")
+
+    # local 6-direction pass over video tokens only
+    qv, kv_, vv = (a[:, :, text_len:] for a in (q, k, v))
+    groups = 6
+    gh = nh // groups
+    outs = []
+    for g, order in enumerate(_AXIS_ORDERS):
+        sl = slice(g * gh, (g + 1) * gh) if g < groups - 1 else slice(
+            (groups - 1) * gh, nh)
+        qg = _permute_tokens(qv[:, sl], num_frames, height, width, order)
+        kg = _permute_tokens(kv_[:, sl], num_frames, height, width, order)
+        vg = _permute_tokens(vv[:, sl], num_frames, height, width, order)
+        if interpret or jax.default_backend() != "tpu":
+            og = swa_reference(qg, kg, vg, window)
+        else:
+            og = sliding_window_attention(qg, kg, vg, window=window)
+        outs.append(_permute_tokens(og, num_frames, height, width, order,
+                                    inverse=True))
+    local = jnp.concatenate(outs, axis=1)
+
+    # reference combination: video = local + cross_video; text = 2x cross_text
+    out_text = cross[:, :, :text_len] * 2.0
+    out_vid = local + cross[:, :, text_len:]
+    return jnp.concatenate([out_text, out_vid], axis=2)

@@ -45,6 +45,9 @@ class TrainConfig:
     max_grad_norm: float = 0.05
     ema_decay: float = 0.9999
     use_ema: bool = False
+    # 'flow' (V5.1), 'ddpm' (plain eps MSE), 'sigma' (IDDPM learned-range VB)
+    # -- the reference's three loss modes (train.py:938-942, 2022-2076)
+    loss_type: str = "flow"
     loss: FlowMatchLossConfig = dataclasses.field(default_factory=FlowMatchLossConfig)
 
 
@@ -82,21 +85,43 @@ def make_train_step(
     """
     tx = make_optimizer(cfg)
 
-    def loss_fn(params, batch, rng):
-        latents = batch["latents"]
-        b = latents.shape[0]
-        rng_sigma, rng_noise = jax.random.split(rng)
-        sigmas, timesteps = sample_flow_sigmas(rng_sigma, b, cfg.loss)
-        noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
-        noisy, target = flow_noise_and_target(latents, noise, sigmas)
-        pred = model.apply(
+    def apply_model(params, noisy, timesteps, batch):
+        return model.apply(
             {"params": params}, noisy, timesteps, batch["text"],
             batch.get("rope"),
             inpaint_latents=batch.get("inpaint_latents"),
             control_latents=batch.get("control_latents"),
         )
-        loss = masked_mse_loss(pred, target, cfg.loss.loss_outlier_threshold)
-        return loss, {"loss": loss, "mean_sigma": jnp.mean(sigmas)}
+
+    if cfg.loss_type in ("ddpm", "sigma"):
+        from ..pipeline.schedulers import DDIMConfig
+        from ..utils.diffusion import GaussianDiffusion
+
+        gd = GaussianDiffusion.from_config(DDIMConfig(
+            num_train_timesteps=cfg.loss.num_train_timesteps))
+
+    def loss_fn(params, batch, rng):
+        latents = batch["latents"]
+        b = latents.shape[0]
+        rng_sigma, rng_noise = jax.random.split(rng)
+        if cfg.loss_type == "flow":
+            sigmas, timesteps = sample_flow_sigmas(rng_sigma, b, cfg.loss)
+            noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
+            noisy, target = flow_noise_and_target(latents, noise, sigmas)
+            pred = apply_model(params, noisy, timesteps, batch)
+            loss = masked_mse_loss(pred, target,
+                                   cfg.loss.loss_outlier_threshold)
+            return loss, {"loss": loss, "mean_sigma": jnp.mean(sigmas)}
+        # DDPM-family: uniform/banded integer timesteps
+        from .losses import ddpm_sample_timesteps
+
+        t = ddpm_sample_timesteps(rng_sigma, b, cfg.loss.num_train_timesteps,
+                                  cfg.loss.uniform_bands)
+        loss, aux = gd.training_losses(
+            lambda xt, ti: apply_model(params, xt, ti.astype(jnp.float32),
+                                       batch),
+            latents, t, rng_noise, learn_sigma=cfg.loss_type == "sigma")
+        return loss, aux
 
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -129,3 +129,26 @@ def test_two_steps_loss_changes():
         state, m2 = step(state, batch, jax.random.PRNGKey(3))
     # same rng + same batch + sgd steps -> loss strictly decreases
     assert float(m2["loss"]) < float(m1["loss"])
+
+
+def test_ddpm_and_sigma_loss_modes():
+    import dataclasses
+    cfg = PRESETS["tiny"]
+    # sigma mode needs out_channels = 2 * latent channels (learned range)
+    cfg2 = dataclasses.replace(cfg, out_channels=8)
+    model = EasyAnimateTransformer3D(cfg2)
+    lat = jnp.zeros((1, 4, 2, 8, 8))
+    txt = jnp.zeros((1, 5, cfg.text_embed_dim))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt, None)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (1, 4, 2, 8, 8)),
+        "text": jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.text_embed_dim)),
+    }
+    for mode in ("ddpm", "sigma"):
+        tcfg = TrainConfig(loss_type=mode, learning_rate=1e-3)
+        state = create_train_state(params, tcfg)
+        step = jax.jit(make_train_step(model, tcfg))
+        state, m = step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(m["loss"])), mode
+        if mode == "sigma":
+            assert "vb" in m and np.isfinite(float(m["vb"]))

@@ -137,3 +137,40 @@ def test_roundtrip_jit_and_finite(tiny_vae, rng):
     out = roundtrip(video)
     assert out.shape == video.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_encode_decode_close_to_untiled(tiny_vae, rng):
+    """Tiling changes values only near seams; interiors must match closely
+    and shapes exactly."""
+    import dataclasses
+    from easyanimate_tpu.models.vae import vae_decode_tiled, vae_encode_tiled
+
+    vae, params = tiny_vae
+    cfg = dataclasses.replace(TINY, tile_sample_min_size=16,
+                              tile_overlap_factor=0.25)
+    vae_t = AutoencoderKLMagvit(cfg)
+    video = jnp.asarray(rng.standard_normal((1, 3, 3, 32, 32)).astype(np.float32))
+    m_t = vae_encode_tiled(vae_t, params, video)
+    m = vae_encode(vae_t, params, video)
+    assert m_t.shape == m.shape
+    # tiling is approximate (mid-block spatial attention is per-tile); the
+    # outputs must still be strongly correlated with the untiled encode
+    a, b = np.asarray(m_t).ravel(), np.asarray(m).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.9, corr
+
+    z = jnp.asarray(rng.standard_normal((1, 4, 2, 16, 16)).astype(np.float32))
+    d_t = vae_decode_tiled(vae_t, params, z)
+    d = vae_decode(vae_t, params, z)
+    assert d_t.shape == d.shape
+    assert np.isfinite(np.asarray(d_t)).all()
+
+
+def test_smooth_output_runs(tiny_vae, rng):
+    from easyanimate_tpu.models.vae import smooth_output
+
+    vae, params = tiny_vae
+    video = jnp.asarray(rng.standard_normal((1, 3, 9, 16, 16)).astype(np.float32))
+    out = smooth_output(vae, params, video)
+    assert out.shape == video.shape
+    assert np.isfinite(np.asarray(out)).all()
