@@ -1,0 +1,85 @@
+"""V1-V4 legacy model-generation tests (tiny configs)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easyanimate_tpu.models.hunyuan import HunyuanConfig, HunyuanTransformer3D
+from easyanimate_tpu.models.transformer3d_legacy import (
+    MotionModuleConfig,
+    Transformer3D,
+    Transformer3DConfig,
+)
+from easyanimate_tpu.ops.rope import get_2d_rotary_pos_embed
+
+TINY_V3 = Transformer3DConfig(
+    num_attention_heads=2, attention_head_dim=16, in_channels=4,
+    out_channels=8, num_layers=16, caption_channels=24,
+    basic_block_type="global_motionmodule", enable_uvit=True,
+    motion_module_even=MotionModuleConfig(num_attention_heads=2),
+    motion_module_odd=MotionModuleConfig(
+        num_attention_heads=2,
+        attention_block_types=("Temporal_Self", "Global_Self")),
+    dtype="float32",
+)
+
+
+def test_transformer3d_v3_forward(rng):
+    model = Transformer3D(TINY_V3)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 3, 8, 8)).astype(np.float32))
+    txt = jnp.asarray(rng.standard_normal((1, 6, 24)).astype(np.float32))
+    mask = jnp.ones((1, 6))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([7.0]), txt, mask)
+    out = model.apply(params, lat, jnp.array([7.0]), txt, mask)
+    assert out.shape == (1, 8, 3, 8, 8)  # learned sigma doubles channels
+    assert np.isfinite(np.asarray(out)).all()
+    # uvit long-skip linears exist and are zero-init
+    import flax
+    flat = flax.traverse_util.flatten_dict(params["params"], sep="/")
+    assert "long_connect_fc0/kernel" in flat
+    assert float(np.abs(flat["long_connect_fc0/kernel"]).max()) == 0.0
+    # motion-module proj_out zero-init (reference zero_initialize)
+    mm_out = [v for k, v in flat.items()
+              if "attn_temporal/proj_out/kernel" in k]
+    assert mm_out and all(float(np.abs(v).max()) == 0.0 for v in mm_out)
+
+
+def test_transformer3d_basic_block(rng):
+    cfg = dataclasses.replace(TINY_V3, basic_block_type="basic",
+                              enable_uvit=False, num_layers=2)
+    model = Transformer3D(cfg)
+    lat = jnp.zeros((1, 4, 2, 8, 8))
+    txt = jnp.zeros((1, 6, 24))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt, None)
+    out = model.apply(params, lat, jnp.array([1.0]), txt, None)
+    assert out.shape == (1, 8, 2, 8, 8)
+
+
+TINY_V4 = HunyuanConfig(
+    num_attention_heads=2, attention_head_dim=16, in_channels=4,
+    num_layers=6, cross_attention_dim=32, cross_attention_dim_t5=48,
+    pooled_projection_dim=32, text_len=6, text_len_t5=8, dtype="float32",
+)
+
+
+@pytest.mark.parametrize("block_type", ["basic", "kvcompression_basic",
+                                        "hybrid_attention"])
+def test_hunyuan_forward(rng, block_type):
+    cfg = dataclasses.replace(TINY_V4, basic_block_type=block_type)
+    model = HunyuanTransformer3D(cfg)
+    f, hh, ww = 4, 8, 8
+    lat = jnp.asarray(rng.standard_normal((1, 4, f, hh, ww)).astype(np.float32))
+    bert = jnp.asarray(rng.standard_normal((1, 6, 32)).astype(np.float32))
+    t5 = jnp.asarray(rng.standard_normal((1, 8, 48)).astype(np.float32))
+    m1, m2 = jnp.ones((1, 6)), jnp.ones((1, 8))
+    cos, sin = get_2d_rotary_pos_embed(cfg.attention_head_dim,
+                                       ((0, 0), (4, 4)), (4, 4))
+    rope = (jnp.asarray(cos), jnp.asarray(sin))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([5.0]), bert,
+                        m1, t5, m2, rope=rope)
+    out = model.apply(params, lat, jnp.array([5.0]), bert, m1, t5, m2,
+                      rope=rope)
+    assert out.shape == (1, 8, f, hh, ww)  # learn_sigma -> 2x channels
+    assert np.isfinite(np.asarray(out)).all()
