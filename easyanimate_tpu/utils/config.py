@@ -1,0 +1,71 @@
+"""YAML model-config system.
+
+Parity target: the reference's OmegaConf yamls (config/*.yaml) with
+transformer_additional_kwargs / vae_kwargs / text_encoder_kwargs consumed at
+train.py:944-1036 and predict_*.py:91-141, plus the model registry
+(models/__init__.py:6-15). omegaconf isn't in this image; plain yaml covers
+the same files.
+"""
+import dataclasses
+from typing import Any, Dict
+
+import yaml
+
+from ..models.hunyuan import HunyuanConfig, HunyuanTransformer3D
+from ..models.mmdit import EasyAnimateTransformer3D, MMDiTConfig
+from ..models.transformer3d_legacy import (
+    MotionModuleConfig,
+    Transformer3D,
+    Transformer3DConfig,
+)
+from ..models.vae import AutoencoderKLMagvit
+
+# reference registry parity (models/__init__.py:6-15)
+name_to_transformer3d = {
+    "Transformer3DModel": Transformer3D,
+    "HunyuanTransformer3DModel": HunyuanTransformer3D,
+    "EasyAnimateTransformer3DModel": EasyAnimateTransformer3D,
+}
+name_to_autoencoder_magvit = {
+    "AutoencoderKLMagvit": AutoencoderKLMagvit,
+}
+
+
+def load_yaml_config(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _filter_fields(cls, kw: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in kw.items() if k in names}
+
+
+def build_transformer(config: Dict[str, Any], dtype: str = "bfloat16",
+                      **overrides):
+    """transformer_additional_kwargs (+ checkpoint config.json fields) ->
+    (module, config dataclass)."""
+    kw = dict(config.get("transformer_additional_kwargs", config))
+    kw.update(overrides)
+    t_type = kw.pop("transformer_type", "EasyAnimateTransformer3DModel")
+    if t_type == "EasyAnimateTransformer3DModel":
+        cfg = MMDiTConfig(dtype=dtype, **_filter_fields(MMDiTConfig, kw))
+        return EasyAnimateTransformer3D(cfg), cfg
+    if t_type == "HunyuanTransformer3DModel":
+        cfg = HunyuanConfig(dtype=dtype, **_filter_fields(HunyuanConfig, kw))
+        return HunyuanTransformer3D(cfg), cfg
+    if t_type == "Transformer3DModel":
+        mm_fields = {}
+        for side in ("even", "odd"):
+            mk = kw.pop(f"motion_module_kwargs_{side}",
+                        kw.get("motion_module_kwargs"))
+            if mk:
+                mm_fields[f"motion_module_{side}"] = MotionModuleConfig(
+                    **_filter_fields(MotionModuleConfig, dict(
+                        mk, grid=kw.get("motion_module_type") == "VanillaGrid")))
+        kw.pop("motion_module_kwargs", None)
+        cfg = Transformer3DConfig(
+            dtype=dtype, **mm_fields,
+            **_filter_fields(Transformer3DConfig, kw))
+        return Transformer3D(cfg), cfg
+    raise ValueError(f"unknown transformer_type {t_type}")

@@ -1,0 +1,117 @@
+"""Stage 2: data-quality filters.
+
+Parity targets in video_caption/:
+  compute_motion_score.py      optical-flow mean magnitude
+  compute_text_score.py        OCR text-area fraction (easyocr)
+  compute_semantic_consistency.py  CLIP/DINO keyframe cosine similarity
+  utils/image_evaluator.py     aesthetic predictor (siglip head)
+
+Deps policy: optical flow runs on cv2 (present). OCR/CLIP/aesthetic need
+model weights that cannot be downloaded here, so those accept a pluggable
+embed/ocr callable and raise a clear error when none is given.
+"""
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+def _sample_frames(video_path: str, num: int = 8) -> List[np.ndarray]:
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 1
+    idxs = np.linspace(0, max(total - 1, 0), num).astype(int)
+    frames = []
+    for i in idxs:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+        ok, f = cap.read()
+        if ok:
+            frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return frames
+
+
+def compute_motion_score(video_path: str, sample_fps: int = 2,
+                         size: int = 256) -> float:
+    """Mean Farneback optical-flow magnitude between sampled frame pairs
+    (compute_motion_score.py parity)."""
+    import cv2
+
+    frames = _sample_frames(video_path, num=max(sample_fps * 4, 4))
+    if len(frames) < 2:
+        return 0.0
+    mags = []
+    prev = None
+    for f in frames:
+        g = cv2.cvtColor(cv2.resize(f, (size, size)), cv2.COLOR_RGB2GRAY)
+        if prev is not None:
+            flow = cv2.calcOpticalFlowFarneback(
+                prev, g, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+            mags.append(float(np.linalg.norm(flow, axis=-1).mean()))
+        prev = g
+    return float(np.mean(mags)) if mags else 0.0
+
+
+def compute_text_score(video_path: str,
+                       ocr_fn: Optional[Callable] = None) -> float:
+    """Mean fraction of frame area covered by detected text boxes.
+
+    ocr_fn(frame_rgb) -> list of (x0, y0, x1, y1) boxes; defaults to easyocr
+    when importable."""
+    if ocr_fn is None:
+        try:
+            import easyocr  # type: ignore
+
+            reader = easyocr.Reader(["en"], gpu=False)
+
+            def ocr_fn(frame):
+                out = []
+                for box, _, _ in reader.readtext(frame):
+                    xs = [p[0] for p in box]
+                    ys = [p[1] for p in box]
+                    out.append((min(xs), min(ys), max(xs), max(ys)))
+                return out
+        except ImportError as e:
+            raise RuntimeError(
+                "text score needs easyocr or an ocr_fn callable") from e
+    fracs = []
+    for f in _sample_frames(video_path, num=4):
+        area = f.shape[0] * f.shape[1]
+        boxes = ocr_fn(f)
+        covered = sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in boxes)
+        fracs.append(covered / area)
+    return float(np.mean(fracs)) if fracs else 0.0
+
+
+def compute_semantic_consistency(video_path: str,
+                                 embed_fn: Callable,
+                                 num_keyframes: int = 8) -> float:
+    """Mean adjacent-keyframe cosine similarity of embed_fn features
+    (CLIP/DINOv2 in the reference)."""
+    frames = _sample_frames(video_path, num=num_keyframes)
+    if len(frames) < 2:
+        return 1.0
+    embs = np.stack([np.asarray(embed_fn(f), np.float32) for f in frames])
+    embs = embs / np.maximum(np.linalg.norm(embs, axis=-1, keepdims=True),
+                             1e-8)
+    sims = (embs[:-1] * embs[1:]).sum(-1)
+    return float(sims.mean())
+
+
+def filter_manifest(entries: Sequence[dict], *,
+                    min_motion: float = 2.0,
+                    max_motion: float = 14.0,
+                    max_text: float = 0.02,
+                    min_semantic: float = 0.8) -> List[dict]:
+    """Threshold filter over precomputed scores
+    (filter_meta_train.py / utils/filter.py parity)."""
+    out = []
+    for e in entries:
+        if not (min_motion <= e.get("motion_score", min_motion) <= max_motion):
+            continue
+        if e.get("text_score", 0.0) > max_text:
+            continue
+        if e.get("semantic_consistency", 1.0) < min_semantic:
+            continue
+        out.append(e)
+    return out

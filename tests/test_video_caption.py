@@ -1,0 +1,80 @@
+"""Video preprocessing pipeline tests (synthetic videos via cv2)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from easyanimate_tpu.video_caption import (
+    compute_motion_score,
+    detect_cutscenes,
+    run_preprocessing,
+    split_video,
+)
+from easyanimate_tpu.video_caption.filters import filter_manifest
+
+
+def _write_video(path, segments, size=64, fps=24):
+    """segments: list of (num_frames, color or 'moving')."""
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                         (size, size))
+    for n, kind in segments:
+        for i in range(n):
+            if kind == "moving":
+                f = np.zeros((size, size, 3), np.uint8)
+                x = (i * 3) % (size - 16)
+                f[24:40, x:x + 16] = 255
+            else:
+                f = np.full((size, size, 3), kind, np.uint8)
+            vw.write(f)
+    vw.release()
+
+
+def test_cutscene_detection_finds_hard_cut(tmp_path):
+    p = str(tmp_path / "v.mp4")
+    _write_video(p, [(30, 20), (30, 230)])
+    scenes = detect_cutscenes(p, threshold=20.0)
+    assert len(scenes) >= 2
+    # the cut is near frame 30
+    assert any(abs(s - 30) <= 2 for s, _ in scenes[1:])
+
+
+def test_split_video_writes_clips(tmp_path):
+    p = str(tmp_path / "v.mp4")
+    _write_video(p, [(100, 40)])
+    out = split_video(p, [(0, 100)], str(tmp_path / "clips"))
+    assert len(out) == 1 and os.path.getsize(out[0]) > 0
+
+
+def test_motion_score_orders_static_vs_moving(tmp_path):
+    static = str(tmp_path / "s.mp4")
+    moving = str(tmp_path / "m.mp4")
+    _write_video(static, [(40, 128)])
+    _write_video(moving, [(40, "moving")])
+    assert compute_motion_score(moving) > compute_motion_score(static)
+
+
+def test_filter_manifest_thresholds():
+    entries = [
+        {"file_path": "a", "motion_score": 5.0},
+        {"file_path": "b", "motion_score": 0.1},          # too static
+        {"file_path": "c", "motion_score": 50.0},         # too shaky
+        {"file_path": "d", "motion_score": 5.0, "text_score": 0.5},  # texty
+    ]
+    kept = filter_manifest(entries)
+    assert [e["file_path"] for e in kept] == ["a"]
+
+
+def test_run_preprocessing_end_to_end(tmp_path):
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    _write_video(str(vdir / "clip.mp4"), [(120, "moving")])
+    out = run_preprocessing(str(vdir), str(tmp_path / "out"),
+                            caption_fn=lambda p: "a white square moves",
+                            min_motion=0.01)
+    data = json.load(open(out))
+    assert len(data) >= 1
+    assert data[0]["text"] == "a white square moves"
+    assert os.path.exists(data[0]["file_path"])
