@@ -134,13 +134,16 @@ class ImageVideoDataset:
             frames = _read_image(self._path(e))[None]
         else:
             n = self.video_sample_n_frames
-            # stride sampling from a random clip start
-            span = (n - 1) * self.video_sample_stride + 1
-            total = e.get("num_frames")
-            if total is None:
-                total = span
-            start = int(self._rng.integers(0, max(int(total) - span, 0) + 1))
-            frame_idx = start + np.arange(n) * self.video_sample_stride
+            # stride sampling from a random clip start; stride shrinks for
+            # short clips (reference clamps to the available range)
+            total = int(e.get("num_frames") or
+                        (n - 1) * self.video_sample_stride + 1)
+            stride = self.video_sample_stride
+            if (n - 1) * stride + 1 > total:
+                stride = max((total - 1) // max(n - 1, 1), 1)
+            span = (n - 1) * stride + 1
+            start = int(self._rng.integers(0, max(total - span, 0) + 1))
+            frame_idx = np.minimum(start + np.arange(n) * stride, total - 1)
             frames = _read_video(self._path(e), frame_idx)
         frames = resize_center_crop(frames, self.height, self.width)
         pixel_values = frames.astype(np.float32) / 255.0  # (T, H, W, 3)

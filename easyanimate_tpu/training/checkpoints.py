@@ -37,6 +37,7 @@ class CheckpointManager:
     def save(self, step: int, state: Any, sampler_state: Optional[dict] = None):
         path = self._path(step)
         self._ckpt.save(os.path.join(path, "state"), state)
+        self._ckpt.wait_until_finished()
         if sampler_state is not None:
             with open(os.path.join(path, "sampler.json"), "w") as f:
                 json.dump(sampler_state, f)
