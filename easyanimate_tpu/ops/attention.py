@@ -17,7 +17,11 @@ import jax.numpy as jnp
 
 from .flash_attention import flash_attention
 
-_BLOCK = 512  # measured fastest on v5e at 13k tokens (44 TF/s vs 23 at 256)
+# v5e sweep at 13k tokens: q1024/kv2048/inner256 measured 46-49 TF/s vs
+# 44 at 512/512 and 23 at 256/256
+_BLOCK_Q = 1024
+_BLOCK_KV = 2048
+_BLOCK_KV_INNER = 256
 
 
 def _use_pallas() -> bool:
@@ -53,8 +57,9 @@ def attention(
     sm_scale: Optional[float] = None,
     kv_valid: Optional[int] = None,
     impl: str = "auto",
-    block_q: int = _BLOCK,
-    block_kv: int = _BLOCK,
+    block_q: int = _BLOCK_Q,
+    block_kv: int = _BLOCK_KV,
+    block_kv_inner: Optional[int] = _BLOCK_KV_INNER,
 ) -> jnp.ndarray:
     """Attention over [B, H, S, D] with automatic pad-to-block for Pallas.
 
@@ -82,7 +87,8 @@ def attention(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
     o = flash_attention(
         q, k, v, sm_scale=sm_scale, kv_valid=valid,
-        block_q=bq, block_kv=bkv, interpret=interpret,
+        block_q=bq, block_kv=bkv, block_kv_inner=block_kv_inner,
+        interpret=interpret,
     )
     if sq_p != sq:
         o = o[:, :, :sq]

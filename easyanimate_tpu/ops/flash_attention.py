@@ -58,7 +58,8 @@ def _lane_broadcast(stat, width):
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, sm_scale: float, kv_valid: int, block_kv: int, num_kv: int
+    *, sm_scale: float, kv_valid: int, block_kv: int, num_kv: int,
+    block_kv_inner: int
 ):
     j = pl.program_id(2)
 
@@ -69,31 +70,37 @@ def _fwd_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]  # [block_q, d]; sm_scale pre-folded into q by the wrapper
-    k = k_ref[0]  # [block_kv, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-    if num_kv * block_kv > kv_valid:  # static: some tail tile has padding
-        # unconditional select: measured faster than lax.cond branching,
-        # which defeats Mosaic's pipeline
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
-        s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
-
-    m_prev = m_scr[:]                                  # [block_q, 128]
-    l_prev = l_scr[:]
-    m_curr = jnp.max(s, axis=1)[:, None]               # [block_q, 1]
-    m_next = jnp.maximum(m_prev, m_curr)               # [block_q, 128]
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
-    l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-    m_scr[:] = m_next
-    l_scr[:] = l_next
-
-    v = v_ref[0]
-    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     d = acc_scr.shape[-1]
-    acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
+
+    # two-level tiling: the grid loads block_kv (HBM granularity), the
+    # unrolled inner loop computes block_kv_inner tiles (VMEM granularity)
+    for start in range(0, block_kv, block_kv_inner):
+        k = k_ref[0, start:start + block_kv_inner]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        if num_kv * block_kv > kv_valid:  # static: some tail has padding
+            # unconditional select: measured faster than lax.cond branching,
+            # which defeats Mosaic's pipeline
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + j * block_kv + start)
+            s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:]                                  # [block_q, 128]
+        l_prev = l_scr[:]
+        m_curr = jnp.max(s, axis=1)[:, None]               # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)               # [block_q, 128]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scr[:] = m_next
+        l_scr[:] = l_next
+
+        v = v_ref[0, start:start + block_kv_inner]
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
 
     @pl.when(j == num_kv - 1)
     def _store():
@@ -104,15 +111,18 @@ def _fwd_kernel(
         lse_ref[0] = lse[:, :1]  # [block_q, 1]
 
 
-def _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret):
+def _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret,
+               block_kv_inner=None):
     bh, sq, d = q.shape
     skv = k.shape[1]
     nq, nkv = _cdiv(sq, block_q), _cdiv(skv, block_kv)
     assert sq % block_q == 0 and skv % block_kv == 0, (sq, skv, block_q, block_kv)
+    if block_kv_inner is None or block_kv_inner > block_kv:
+        block_kv_inner = block_kv
 
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_valid=kv_valid,
-        block_kv=block_kv, num_kv=nkv,
+        block_kv=block_kv, num_kv=nkv, block_kv_inner=block_kv_inner,
     )
     out_shape = (
         jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
@@ -311,19 +321,23 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret):
-    o, _ = _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret,
+                     block_kv_inner=None):
+    o, _ = _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv,
+                      interpret, block_kv_inner)
     return o
 
 
-def _flash_attention_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret):
-    o, lse = _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret)
+def _flash_attention_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv,
+                         interpret, block_kv_inner=None):
+    o, lse = _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv,
+                        interpret, block_kv_inner)
     return o, (q, k, v, o, lse)
 
 
 def _flash_attention_bwd(sm_scale, kv_valid, block_q, block_kv, interpret,
-                         residuals, do):
+                         block_kv_inner, residuals, do):
     q, k, v, o, lse = residuals
     dq, dk, dv = _flash_bwd(
         q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv, interpret
@@ -343,6 +357,7 @@ def flash_attention(
     kv_valid: Optional[int] = None,
     block_q: int = 256,
     block_kv: int = 256,
+    block_kv_inner: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Bidirectional flash attention.
@@ -374,5 +389,5 @@ def flash_attention(
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
     of = _flash_attention(qf, kf, vf, 1.0, kv_valid, block_q, block_kv,
-                          interpret)
+                          interpret, block_kv_inner)
     return of.reshape(b, h, sq, d)

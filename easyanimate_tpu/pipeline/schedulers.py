@@ -171,3 +171,57 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
     std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
     rescaled = noise_cfg * (std_text / std_cfg)
     return guidance_rescale * rescaled + (1 - guidance_rescale) * noise_cfg
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++ (2M) -- multistep fast sampler for DDPM-family checkpoints
+# (reference editions expose DPMSolverMultistepScheduler; math follows
+# dpmsolver++ with solver_order 2, lower-order-final)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverConfig(DDIMConfig):
+    solver_order: int = 2
+
+
+def dpm_lambda(alphas_cumprod, t):
+    a = jnp.sqrt(alphas_cumprod[t])
+    s = jnp.sqrt(1.0 - alphas_cumprod[t])
+    return jnp.log(a) - jnp.log(s)
+
+
+def dpm_solver_step(cfg: DPMSolverConfig, sample, model_output, t, t_prev,
+                    prev_x0, step_index, alphas_cumprod):
+    """One DPM++ (2M) step. Carries the previous x0 prediction; first step
+    (and steps where t_prev < 0) fall back to first order.
+
+    Returns (new_sample, x0_pred)."""
+    x = sample.astype(jnp.float32)
+    out = model_output.astype(jnp.float32)
+    ac = alphas_cumprod
+    a_t = jnp.sqrt(ac[t])
+    s_t = jnp.sqrt(1 - ac[t])
+    if cfg.prediction_type == "epsilon":
+        x0 = (x - s_t * out) / a_t
+    elif cfg.prediction_type == "v_prediction":
+        x0 = a_t * x - s_t * out
+    else:
+        x0 = out
+    if cfg.clip_sample:
+        x0 = jnp.clip(x0, -1, 1)
+
+    tp = jnp.maximum(t_prev, 0)
+    a_p = jnp.where(t_prev >= 0, jnp.sqrt(ac[tp]), 1.0)
+    s_p = jnp.where(t_prev >= 0, jnp.sqrt(1 - ac[tp]), 1e-3)
+    lam_t = jnp.log(a_t) - jnp.log(s_t)
+    lam_p = jnp.log(a_p) - jnp.log(s_p)
+    h = lam_p - lam_t
+
+    first = (s_p / s_t) * x - a_p * (jnp.exp(-h) - 1.0) * x0
+    # second order: D1 from the previous x0 (r0 ~ 1 on a uniform grid)
+    d1 = x0 - prev_x0
+    second = first - 0.5 * a_p * (jnp.exp(-h) - 1.0) * d1
+    use_second = (step_index > 0) & (t_prev >= 0)
+    new = jnp.where(use_second, second, first)
+    return new.astype(sample.dtype), x0

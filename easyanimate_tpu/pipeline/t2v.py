@@ -31,9 +31,11 @@ from ..ops.rope import (
 )
 from .schedulers import (
     DDIMConfig,
+    DPMSolverConfig,
     FlowMatchEulerConfig,
     ddim_schedule,
     ddim_step,
+    dpm_solver_step,
     flow_match_schedule,
     flow_match_step,
     rescale_noise_cfg,
@@ -229,6 +231,8 @@ class EasyAnimatePipeline:
 
         @jax.jit
         def run(params, latents, txt, txt_t5, rope, cond):
+            prev_x0 = (jnp.zeros_like(latents, jnp.float32)
+                       if isinstance(sched, DPMSolverConfig) else None)
             if teacache_threshold is not None:
                 b = latents.shape[0] * (2 if do_cfg else 1)
                 s_vid = ((latents.shape[3] // self.mmdit_cfg.patch_size)
@@ -241,7 +245,7 @@ class EasyAnimatePipeline:
                 tea0 = None
 
             def body(carry, step):
-                lat, tea = carry
+                lat, tea, prev_x0 = carry
                 if isinstance(sched, FlowMatchEulerConfig):
                     t, sigma, sigma_next = step[0], step[1], step[2]
                 else:
@@ -257,12 +261,17 @@ class EasyAnimatePipeline:
                         pred = rescale_noise_cfg(pred, text, guidance_rescale)
                 if isinstance(sched, FlowMatchEulerConfig):
                     lat = flow_match_step(lat, pred, sigma, sigma_next)
+                elif isinstance(sched, DPMSolverConfig):
+                    lat, prev_x0 = dpm_solver_step(
+                        sched, lat, pred, t, t_prev, prev_x0,
+                        step[3].astype(jnp.int32), alphas_cumprod)
                 else:
                     lat = ddim_step(sched, lat, pred, t, t_prev,
                                     alphas_cumprod, final_alpha)
-                return (lat, tea), None
+                return (lat, tea, prev_x0), None
 
-            (latents, _), _ = jax.lax.scan(body, (latents, tea0), per_step)
+            (latents, _, _), _ = jax.lax.scan(
+                body, (latents, tea0, prev_x0), per_step)
             return latents
 
         return run

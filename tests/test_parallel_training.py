@@ -152,3 +152,24 @@ def test_ddpm_and_sigma_loss_modes():
         assert np.isfinite(float(m["loss"])), mode
         if mode == "sigma":
             assert "vb" in m and np.isfinite(float(m["vb"]))
+
+
+def test_came_optimizer_converges_quadratic():
+    from easyanimate_tpu.training.came import came
+
+    tx = came(learning_rate=0.1)
+    params = {"w": jnp.ones((8, 16)) * 3.0, "b": jnp.ones((16,)) * -2.0}
+    state = tx.init(params)
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2) + jnp.sum(p["b"] ** 2)
+
+    l0 = float(loss(params))
+    for _ in range(60):
+        grads = jax.grad(loss)(params)
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss(params)) < 0.05 * l0
+    # factored stats: no full (8,16) second moment stored for the matrix
+    assert state.v["w"].row.shape == (8,)
+    assert state.v["w"].col.shape == (16,)

@@ -156,3 +156,17 @@ def test_teacache_skipping_path_runs():
     assert np.isfinite(np.asarray(tea)).all()
     # interior steps were skipped -> outputs differ from the exact path
     assert np.abs(np.asarray(tea) - np.asarray(base)).max() > 1e-6
+
+
+def test_t2v_dpm_solver_path():
+    from easyanimate_tpu.pipeline.schedulers import DPMSolverConfig
+
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pipe.scheduler = DPMSolverConfig()
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    lat = pipe(pos, neg, height=h, width=w, video_length=vl,
+               num_inference_steps=4, guidance_scale=2.0,
+               output_type="latent", rng=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(lat)).all()
