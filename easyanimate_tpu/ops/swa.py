@@ -28,7 +28,7 @@ from .flash_attention import DEFAULT_MASK_VALUE, MIN_LANES, _lane_broadcast
 
 def _swa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
                 *, window: int, block_q: int, block_kv: int, num_off: int,
-                kv_len: int):
+                kv_len: int, block_kv_inner: int):
     jj = pl.program_id(2)
     i = pl.program_id(1)
 
@@ -39,31 +39,34 @@ def _swa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-
+    d = acc_scr.shape[-1]
     # virtual kv start for this offset slot (may be out of range / clamped)
     virt = i * block_q + (jj - num_off // 2) * block_kv
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + virt
-    ok = (col >= 0) & (col < kv_len) & (jnp.abs(row - col) <= window)
-    s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
+    for start in range(0, block_kv, block_kv_inner):
+        k = k_ref[0, start:start + block_kv_inner]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    m_prev = m_scr[:]
-    l_prev = l_scr[:]
-    m_curr = jnp.max(s, axis=1)[:, None]
-    m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
-    # fully-masked tiles: p rows are exp(MASK - m) ~ 0; harmless
-    l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-    m_scr[:] = m_next
-    l_scr[:] = l_next
-    v = v_ref[0]
-    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    d = acc_scr.shape[-1]
-    acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + virt + start
+        ok = (col >= 0) & (col < kv_len) & (jnp.abs(row - col) <= window)
+        s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:]
+        l_prev = l_scr[:]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
+        # fully-masked tiles: p rows are exp(MASK - m) ~ 0; harmless
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scr[:] = m_next
+        l_scr[:] = l_next
+        v = v_ref[0, start:start + block_kv_inner]
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
 
     @pl.when(jj == num_off - 1)
     def _store():
@@ -76,8 +79,9 @@ def sliding_window_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     window: int,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 512,
+    block_kv_inner: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Bidirectional +-window attention over [B, H, S, D] (inference path)."""
@@ -107,7 +111,8 @@ def sliding_window_attention(
 
     kernel = functools.partial(
         _swa_kernel, window=window, block_q=block_q, block_kv=block_kv,
-        num_off=num_off, kv_len=s)
+        num_off=num_off, kv_len=s,
+        block_kv_inner=min(block_kv_inner, block_kv))
     of = pl.pallas_call(
         kernel,
         grid=(b * h, nq, num_off),
@@ -212,23 +217,29 @@ def swa_joint_attention(
     cross = dense_attention(q, ck, cv,
                             impl="xla" if interpret else "pallas")
 
-    # local 6-direction pass over video tokens only
+    # local 6-direction pass over video tokens only; all head groups share
+    # the same window so their permuted tokens batch into ONE kernel call
     qv, kv_, vv = (a[:, :, text_len:] for a in (q, k, v))
     groups = 6
     gh = nh // groups
+    slices = [slice(g * gh, (g + 1) * gh) for g in range(groups - 1)]
+    slices.append(slice((groups - 1) * gh, nh))
+    perm = lambda a, sl, order: _permute_tokens(
+        a[:, sl], num_frames, height, width, order)
+    qq = jnp.concatenate([perm(qv, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+    kk = jnp.concatenate([perm(kv_, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+    vvv = jnp.concatenate([perm(vv, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+    if interpret or jax.default_backend() != "tpu":
+        oo = swa_reference(qq, kk, vvv, window)
+    else:
+        oo = sliding_window_attention(qq, kk, vvv, window=window)
     outs = []
-    for g, order in enumerate(_AXIS_ORDERS):
-        sl = slice(g * gh, (g + 1) * gh) if g < groups - 1 else slice(
-            (groups - 1) * gh, nh)
-        qg = _permute_tokens(qv[:, sl], num_frames, height, width, order)
-        kg = _permute_tokens(kv_[:, sl], num_frames, height, width, order)
-        vg = _permute_tokens(vv[:, sl], num_frames, height, width, order)
-        if interpret or jax.default_backend() != "tpu":
-            og = swa_reference(qg, kg, vg, window)
-        else:
-            og = sliding_window_attention(qg, kg, vg, window=window)
-        outs.append(_permute_tokens(og, num_frames, height, width, order,
-                                    inverse=True))
+    off = 0
+    for sl, order in zip(slices, _AXIS_ORDERS):
+        n = sl.stop - sl.start
+        outs.append(_permute_tokens(oo[:, off:off + n], num_frames, height,
+                                    width, order, inverse=True))
+        off += n
     local = jnp.concatenate(outs, axis=1)
 
     # reference combination: video = local + cross_video; text = 2x cross_text
