@@ -92,3 +92,30 @@ def test_plucker_embedding_identity_camera():
     assert d[2] > 0.9  # near-center ray points forward
     np.testing.assert_allclose(np.linalg.norm(emb[..., 3:], axis=-1), 1.0,
                                atol=1e-5)
+
+
+def test_degradation_pipeline():
+    import numpy as np
+
+    from easyanimate_tpu.data.degradation import degradation_pipeline
+
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    out = degradation_pipeline(img, rng)
+    assert out.shape == img.shape
+    assert out.min() >= 0 and out.max() <= 1
+    assert np.abs(out - img).mean() > 1e-4  # actually degraded
+
+
+def test_comfyui_mappings_importable():
+    import importlib.util
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "..", "comfyui",
+                     "easyanimate_tpu_nodes.py")
+    spec = importlib.util.spec_from_file_location("ea_nodes", p)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert set(m.NODE_CLASS_MAPPINGS) == {
+        "LoadEasyAnimateTPUModel", "LoadEasyAnimateTPULora",
+        "EasyAnimateTPUSampler"}
