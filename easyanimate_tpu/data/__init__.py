@@ -27,3 +27,7 @@ __all__ = [
     "resize_center_crop",
     "video_length_for_resolution",
 ]
+
+from .dataset import ImageVideoControlDataset  # noqa: E402
+
+__all__ += ["ImageVideoControlDataset"]

@@ -157,3 +157,39 @@ class ImageVideoDataset:
             mask = get_random_mask((t, 1, h, w), self._rng)
             sample["mask"] = np.transpose(mask, (1, 0, 2, 3)).astype(np.float32) / 255.0
         return sample
+
+
+@dataclasses.dataclass
+class ImageVideoControlDataset(ImageVideoDataset):
+    """Adds a control video (pose/canny/depth) or camera-pose file per
+    sample (reference dataset_image_video.py:507-730). Manifest entries may
+    carry `control_file_path` (a video) or `camera_file_path` (a
+    RealEstate10K-style pose txt -> Plucker embedding)."""
+
+    enable_camera: bool = False
+
+    def _load(self, e: Dict, idx: int) -> Dict[str, np.ndarray]:
+        sample = super()._load(e, idx)
+        t = sample["pixel_values"].shape[1]
+        if e.get("camera_file_path") and self.enable_camera:
+            from .camera import plucker_from_file
+
+            pl = plucker_from_file(
+                self._path({"file_path": e["camera_file_path"]}),
+                self.height, self.width)
+            pl = pl[:t]
+            if pl.shape[0] < t:
+                pl = np.concatenate(
+                    [pl, np.repeat(pl[-1:], t - pl.shape[0], 0)], 0)
+            sample["control_camera_values"] = np.transpose(
+                pl, (3, 0, 1, 2)).astype(np.float32)
+        elif e.get("control_file_path"):
+            n = t
+            frame_idx = np.arange(n) * 1
+            frames = _read_video(
+                self._path({"file_path": e["control_file_path"]}), frame_idx)
+            frames = resize_center_crop(frames, self.height, self.width)
+            sample["control_pixel_values"] = np.transpose(
+                frames.astype(np.float32) / 255.0, (3, 0, 1, 2))
+        return sample
+

@@ -46,6 +46,13 @@ def parse_args():
     ap.add_argument("--lora_rank", type=int, default=0,
                     help=">0 trains a LoRA instead of full SFT")
     ap.add_argument("--enable_inpaint", action="store_true")
+    ap.add_argument("--train_mode", default="sft",
+                    choices=["sft", "control"],
+                    help="control: condition on control videos "
+                         "(train_control.py parity)")
+    ap.add_argument("--validation_steps", type=int, default=0,
+                    help=">0: render a validation sample every N steps "
+                         "(log_validation parity)")
     ap.add_argument("--mesh", default="dp=-1,sp=1,tp=1")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--resume_from_checkpoint", action="store_true")
@@ -81,7 +88,7 @@ def main():
         args.sample_height = args.sample_width = 32
         args.video_sample_n_frames = 5
         transformer, vae, tparams, vparams, text_dim = _tiny_models(
-            args.enable_inpaint)
+            args.enable_inpaint, args.train_mode == "control")
         encode_text = lambda texts: jnp.zeros(
             (len(texts), 8, text_dim), jnp.float32)
         vae_cfg = vae.cfg
@@ -98,11 +105,20 @@ def main():
     else:
         raise SystemExit("pass --model_path or --tiny_demo")
 
-    dataset = ImageVideoDataset(
-        args.train_data_meta, args.train_data_dir,
-        video_sample_n_frames=args.video_sample_n_frames,
-        height=args.sample_height, width=args.sample_width,
-        enable_inpaint=args.enable_inpaint, seed=args.seed)
+    if args.train_mode == "control":
+        from easyanimate_tpu.data import ImageVideoControlDataset
+
+        dataset = ImageVideoControlDataset(
+            args.train_data_meta, args.train_data_dir,
+            video_sample_n_frames=args.video_sample_n_frames,
+            height=args.sample_height, width=args.sample_width,
+            enable_inpaint=False, seed=args.seed)
+    else:
+        dataset = ImageVideoDataset(
+            args.train_data_meta, args.train_data_dir,
+            video_sample_n_frames=args.video_sample_n_frames,
+            height=args.sample_height, width=args.sample_width,
+            enable_inpaint=args.enable_inpaint, seed=args.seed)
     sampler = ResumableRandomSampler(len(dataset), seed=args.seed)
     batches = iter(AspectRatioBatchSampler(
         sampler=sampler, batch_size=args.train_batch_size,
@@ -161,6 +177,14 @@ def main():
                 batch["inpaint_latents"] = _inpaint_latents(
                     vae, vparams, samples, pixels, latents, lat_scale,
                     transformer.cfg)
+            if args.train_mode == "control":
+                from easyanimate_tpu.models.vae import gaussian_mode
+
+                ctl = np.stack([s_["control_pixel_values"] for s_ in samples])
+                ctl_lat = gaussian_mode(
+                    vae_encode(vae, vparams, jnp.asarray(ctl * 2 - 1)),
+                    axis=1) * lat_scale
+                batch["control_latents"] = ctl_lat.astype(latents.dtype)
             state, metrics = jstep(state, batch, r_step)
             metrics.update(timer.tick())
             logger.log(step, metrics)
@@ -169,8 +193,50 @@ def main():
                       f"gnorm={float(metrics['grad_norm']):.3f}")
             if (step + 1) % args.checkpointing_steps == 0:
                 ckpts.save(step + 1, state, sampler.state_dict())
+            if args.validation_steps and (step + 1) % args.validation_steps == 0:
+                _log_validation(args, transformer, vae,
+                                state, vparams, encode_text, step + 1)
     ckpts.save(args.max_train_steps, state, sampler.state_dict())
     print("done; checkpoints in", ckpts.directory)
+
+
+def _log_validation(args, transformer, vae, state, vparams, encode_text,
+                    step):
+    """Render a sample with the current weights (train.py:246-384 parity)."""
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+    from easyanimate_tpu.utils.media import save_videos_grid
+
+    params = state.params if "params" in getattr(state.params, "keys",
+                                                 lambda: [])() else None
+    tparams = state.params if params is None else state.params
+    if not isinstance(tparams, dict) or "params" not in tparams:
+        return  # LoRA state: skip (merge handled by predict scripts)
+    if args.train_mode == "control":
+        from easyanimate_tpu.pipeline import EasyAnimateControlPipeline
+
+        pipe = EasyAnimateControlPipeline(
+            transformer=transformer, vae=vae, transformer_params=tparams,
+            vae_params=vparams)
+    elif args.enable_inpaint:
+        from easyanimate_tpu.pipeline import EasyAnimateInpaintPipeline
+
+        pipe = EasyAnimateInpaintPipeline(
+            transformer=transformer, vae=vae, transformer_params=tparams,
+            vae_params=vparams)
+    else:
+        pipe = EasyAnimatePipeline(
+            transformer=transformer, vae=vae, transformer_params=tparams,
+            vae_params=vparams)
+    pos = encode_text(["validation sample"])
+    neg = jnp.zeros_like(pos)
+    video = pipe(pos, neg, height=args.sample_height,
+                 width=args.sample_width,
+                 video_length=args.video_sample_n_frames,
+                 num_inference_steps=4, guidance_scale=3.0,
+                 rng=jax.random.PRNGKey(step))
+    out = os.path.join(args.output_dir, f"validation_{step}.gif")
+    save_videos_grid(np.asarray(video), out, fps=8)
+    print("validation sample ->", out)
 
 
 def _inpaint_latents(vae, vparams, samples, pixels, latents, scale, cfg):
@@ -189,7 +255,7 @@ def _inpaint_latents(vae, vparams, samples, pixels, latents, scale, cfg):
     return jnp.concatenate([mask_lat, masked_lat], axis=1).astype(latents.dtype)
 
 
-def _tiny_models(enable_inpaint):
+def _tiny_models(enable_inpaint, enable_control=False):
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
     from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
 
@@ -199,14 +265,22 @@ def _tiny_models(enable_inpaint):
         up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
         layers_per_block=1, norm_num_groups=4, mini_batch_encoder=2,
         mini_batch_decoder=1, scaling_factor=0.5)
-    mmdit_cfg = dataclasses.replace(
-        PRESETS["tiny"], in_channels=9 if enable_inpaint else 4,
-        out_channels=4)
+    in_ch = 4
+    if enable_inpaint:
+        in_ch = 9
+    elif enable_control:
+        in_ch = 8
+    mmdit_cfg = dataclasses.replace(PRESETS["tiny"], in_channels=in_ch,
+                                    out_channels=4)
     transformer = EasyAnimateTransformer3D(mmdit_cfg)
     vae = AutoencoderKLMagvit(vae_cfg)
     lat = jnp.zeros((1, 4, 3, 16, 16))
     txt = jnp.zeros((1, 8, mmdit_cfg.text_embed_dim))
-    kw = {"inpaint_latents": jnp.zeros((1, 5, 3, 16, 16))} if enable_inpaint else {}
+    kw = {}
+    if enable_inpaint:
+        kw["inpaint_latents"] = jnp.zeros((1, 5, 3, 16, 16))
+    elif enable_control:
+        kw["control_latents"] = jnp.zeros((1, 4, 3, 16, 16))
     tp = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
                           None, **kw)
     vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
