@@ -368,3 +368,12 @@ class Transformer3D(nn.Module):
         x = fp32_layer_norm(x, eps=1e-6) * (1 + scale) + shift
         x = nn.Dense(p * p * cfg.out_channels, dtype=dt, name="proj_out")(x)
         return unpatchify(x, f, h, w, p, cfg.out_channels)
+
+
+def Transformer2D(cfg: Transformer3DConfig) -> Transformer3D:
+    """PixArt image DiT (reference transformer2d.py / Transformer2DModel):
+    the V1 image-pretrain baseline is this architecture with single-frame
+    inputs and no temporal branch."""
+    cfg = dataclasses.replace(cfg, basic_block_type="basic",
+                              enable_uvit=False)
+    return Transformer3D(cfg)

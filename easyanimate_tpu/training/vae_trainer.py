@@ -35,12 +35,15 @@ class VAETrainState:
     disc_params: Any
     vae_opt: Any
     disc_opt: Any
+    ema_params: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
 class VAETrainConfig:
     learning_rate: float = 1e-4
     disc_learning_rate: float = 1e-4
+    use_ema: bool = False
+    ema_decay: float = 0.9999
     loss: VAELossConfig = dataclasses.field(default_factory=VAELossConfig)
 
 
@@ -51,7 +54,8 @@ def create_vae_train_state(vae_params, disc_params,
     return VAETrainState(
         step=jnp.zeros((), jnp.int32),
         vae_params=vae_params, disc_params=disc_params,
-        vae_opt=vae_tx.init(vae_params), disc_opt=disc_tx.init(disc_params))
+        vae_opt=vae_tx.init(vae_params), disc_opt=disc_tx.init(disc_params),
+        ema_params=jax.tree.map(jnp.copy, vae_params) if cfg.use_ema else None)
 
 
 def make_vae_train_steps(
@@ -123,8 +127,13 @@ def make_vae_train_steps(
             state.vae_params)
         updates, new_opt = vae_tx.update(grads, state.vae_opt, state.vae_params)
         new_params = optax.apply_updates(state.vae_params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema,
+                               new_params)
         return state.replace(step=state.step + 1, vae_params=new_params,
-                             vae_opt=new_opt), aux
+                             vae_opt=new_opt, ema_params=ema), aux
 
     def disc_step(state: VAETrainState, batch, rng):
         video = batch["video"]
