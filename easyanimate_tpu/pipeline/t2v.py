@@ -277,19 +277,31 @@ class EasyAnimatePipeline:
         return run
 
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
-        """latents -> uint8-ready float video in [0, 1], (B, C, T, H, W)."""
-        video = self._decode_fn()(self.vae_params, latents)
+        """latents -> uint8-ready float video in [0, 1], (B, C, T, H, W).
+
+        Spatial tiling engages automatically above tile_latent_min_size
+        (HBM headroom when the 12B transformer stays resident on the chip).
+        """
+        tile_latent = (self.vae_cfg.tile_sample_min_size
+                       // self.vae_cfg.spatial_compression)
+        tiled = max(latents.shape[-2:]) > tile_latent
+        video = self._decode_fn(tiled)(self.vae_params, latents)
         return np.asarray(video)
 
-    @functools.lru_cache(maxsize=2)
-    def _decode_fn(self):
+    @functools.lru_cache(maxsize=4)
+    def _decode_fn(self, tiled: bool = False):
         vae = self.vae
         scale = self.vae_cfg.scaling_factor
 
         @jax.jit
         def run(vae_params, latents):
             lat = (latents.astype(jnp.float32) / scale).astype(vae.cfg.jdtype)
-            video = vae_decode(vae, vae_params, lat)
+            if tiled:
+                from ..models.vae import vae_decode_tiled
+
+                video = vae_decode_tiled(vae, vae_params, lat)
+            else:
+                video = vae_decode(vae, vae_params, lat)
             return jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
         return run

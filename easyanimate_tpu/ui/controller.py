@@ -106,8 +106,7 @@ class EasyAnimateController:
             strength = denoise_strength
         else:
             v, m = get_image_to_video_latent(
-                _chw(start_image), _chw(end_image) if end_image is not None
-                else None, video_length, (height, width))
+                start_image, end_image, video_length, (height, width))
             video, mask, strength = jnp.asarray(v), jnp.asarray(m), 1.0
         return self.pipeline(
             pos, neg, video=video, mask_video=mask, strength=strength,
@@ -116,10 +115,6 @@ class EasyAnimateController:
             rng=rng, **kw)
 
 
-def _chw(img):
-    if img is None:
-        return None
-    return img  # media helpers accept arrays/paths/PIL
 
 
 def generate_long_video(
@@ -140,7 +135,6 @@ def generate_long_video(
     (reference ui.py:485-546). Returns (1, C, total, H, W) in [0, 1]."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    chunks = []
     init_frames = 0
     last_tail = None
     out: Optional[np.ndarray] = None
@@ -178,5 +172,4 @@ def generate_long_video(
                 [out[:, :, :-n], blended, sample[:, :, n:]], axis=2)
         last_tail = out[:, :, -overlap_video_length:]
         init_frames = out.shape[2]
-        chunks.append(sample)
     return out[:, :, :total_length]

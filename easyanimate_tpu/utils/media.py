@@ -99,12 +99,25 @@ def get_video_to_video_latent(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Source video -> (video (1,C,T,H,W) [0,1], mask (1,1,T,H,W))."""
     if isinstance(input_video, str):
-        import imageio
+        try:
+            import imageio
 
-        reader = imageio.get_reader(input_video)
-        frames = [f for _, f in zip(range(video_length), reader)]
-        reader.close()
-        arr = np.stack(frames)
+            reader = imageio.get_reader(input_video)
+            frames = [f for _, f in zip(range(video_length), reader)]
+            reader.close()
+            arr = np.stack(frames)
+        except Exception:  # no ffmpeg backend: cv2 decodes its own codecs
+            import cv2
+
+            cap = cv2.VideoCapture(input_video)
+            frames = []
+            while len(frames) < video_length:
+                ok, f = cap.read()
+                if not ok:
+                    break
+                frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+            cap.release()
+            arr = np.stack(frames)
     else:
         arr = np.asarray(input_video)[:video_length]
     arr = _resize_frames(arr, sample_size)
