@@ -305,9 +305,9 @@ class HunyuanTransformer3D(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, timestep, encoder_hidden_states,
-                 text_embedding_mask=None, encoder_hidden_states_t5=None,
-                 text_embedding_mask_t5=None, image_meta_size=None,
-                 style=None, rope=None, inpaint_latents=None,
+                 rope=None, encoder_hidden_states_t5=None,
+                 text_embedding_mask=None, text_embedding_mask_t5=None,
+                 image_meta_size=None, style=None, inpaint_latents=None,
                  control_latents=None):
         cfg = self.cfg
         dt = cfg.jdtype

@@ -300,7 +300,10 @@ class Transformer3D(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, timestep, encoder_hidden_states,
-                 text_mask=None, inpaint_latents=None, control_latents=None):
+                 rope=None, text_mask=None, encoder_hidden_states_t5=None,
+                 inpaint_latents=None, control_latents=None):
+        # rope / t5 accepted for pipeline signature compatibility; V1-V3 use
+        # sinusoidal temporal PE instead of rope and a single text encoder
         cfg = self.cfg
         dt = cfg.jdtype
         dim = cfg.inner_dim

@@ -109,7 +109,7 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
                 masked_video = vid * keep
             else:
                 masked_video = vid
-            if noise_aug_strength and cfg.__dict__.get("add_noise_in_inpaint_model", True):
+            if noise_aug_strength and cfg.add_noise_in_inpaint_model:
                 masked_video = add_noise_to_reference_video(
                     masked_video, r_aug, noise_aug_strength)
             enc = lambda x: gaussian_mode(

@@ -31,8 +31,9 @@ def test_transformer3d_v3_forward(rng):
     lat = jnp.asarray(rng.standard_normal((1, 4, 3, 8, 8)).astype(np.float32))
     txt = jnp.asarray(rng.standard_normal((1, 6, 24)).astype(np.float32))
     mask = jnp.ones((1, 6))
-    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([7.0]), txt, mask)
-    out = model.apply(params, lat, jnp.array([7.0]), txt, mask)
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([7.0]), txt,
+                        None, mask)
+    out = model.apply(params, lat, jnp.array([7.0]), txt, None, mask)
     assert out.shape == (1, 8, 3, 8, 8)  # learned sigma doubles channels
     assert np.isfinite(np.asarray(out)).all()
     # uvit long-skip linears exist and are zero-init
@@ -78,8 +79,7 @@ def test_hunyuan_forward(rng, block_type):
                                        ((0, 0), (4, 4)), (4, 4))
     rope = (jnp.asarray(cos), jnp.asarray(sin))
     params = model.init(jax.random.PRNGKey(0), lat, jnp.array([5.0]), bert,
-                        m1, t5, m2, rope=rope)
-    out = model.apply(params, lat, jnp.array([5.0]), bert, m1, t5, m2,
-                      rope=rope)
+                        rope, t5, m1, m2)
+    out = model.apply(params, lat, jnp.array([5.0]), bert, rope, t5, m1, m2)
     assert out.shape == (1, 8, f, hh, ww)  # learn_sigma -> 2x channels
     assert np.isfinite(np.asarray(out)).all()
