@@ -108,3 +108,19 @@ def test_generate_long_video(rng):
         num_inference_steps=2, guidance_scale=2.0)
     assert out.shape == (1, 3, 8, 16, 16)
     assert np.isfinite(out).all()
+
+
+def test_post_infer_client_roundtrip(tmp_path):
+    from easyanimate_tpu.api.client import post_infer
+
+    ctl = _FakeController()
+    srv = EasyAnimateAPIServer(ctl)
+    srv.serve(port=8766, background=True)
+    try:
+        out = post_infer("http://127.0.0.1:8766", prompt="hi", length=5,
+                         width=32, height=32,
+                         save_path=str(tmp_path / "out.mp4"))
+        assert out["message"] == "Success"
+        assert (tmp_path / "out.mp4").stat().st_size > 0
+    finally:
+        srv.shutdown()
