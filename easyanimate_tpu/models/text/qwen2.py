@@ -33,6 +33,7 @@ class Qwen2Config:
     num_key_value_heads: int = 4
     rope_theta: float = 1000000.0
     rms_norm_eps: float = 1e-6
+    scan_layers: bool = True   # compile the stack as one nn.scan body
     dtype: str = "bfloat16"
 
     @property
@@ -129,6 +130,15 @@ class Qwen2Layer(nn.Module):
         return x + Qwen2MLP(cfg, name="mlp")(h)
 
 
+class _Qwen2ScanLayer(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attn_bias):
+        x = Qwen2Layer(self.cfg, name="layer")(x, cos, sin, attn_bias)
+        return x, None
+
+
 class Qwen2TextEncoder(nn.Module):
     """Embeddings + the first (N-1) decoder layers: hidden_states[-2]."""
 
@@ -151,8 +161,18 @@ class Qwen2TextEncoder(nn.Module):
         attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
         n = cfg.num_hidden_layers - (1 if self.drop_last_layer else 0)
         x = emb
-        for i in range(n):
-            x = Qwen2Layer(cfg, name=f"layers_{i}")(x, cos, sin, attn_bias)
+        if cfg.scan_layers:
+            stack = nn.scan(
+                _Qwen2ScanLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=n,
+            )(cfg, name="layers")
+            x, _ = stack(x, cos, sin, attn_bias)
+        else:
+            for i in range(n):
+                x = Qwen2Layer(cfg, name=f"layers_{i}")(x, cos, sin, attn_bias)
         return x
 
 
@@ -173,20 +193,30 @@ def convert_qwen2_state_dict(sd: Dict[str, np.ndarray], cfg: Qwen2Config,
 
     flat = {"embed_tokens/embedding": find("embed_tokens.weight")}
     n = cfg.num_hidden_layers - (1 if drop_last_layer else 0)
-    for i in range(n):
+
+    def layer_items(i):
         src = f"layers.{i}."
-        dst = f"layers_{i}/"
-        flat[dst + "input_layernorm"] = find(src + "input_layernorm.weight")
-        flat[dst + "post_attention_layernorm"] = find(
-            src + "post_attention_layernorm.weight")
+        out = {
+            "input_layernorm": find(src + "input_layernorm.weight"),
+            "post_attention_layernorm": find(
+                src + "post_attention_layernorm.weight"),
+            "self_attn/o_proj/kernel": find(src + "self_attn.o_proj.weight").T,
+        }
         for p in ("q", "k", "v"):
-            flat[dst + f"self_attn/{p}_proj/kernel"] = find(
+            out[f"self_attn/{p}_proj/kernel"] = find(
                 src + f"self_attn.{p}_proj.weight").T
-            flat[dst + f"self_attn/{p}_proj/bias"] = find(
+            out[f"self_attn/{p}_proj/bias"] = find(
                 src + f"self_attn.{p}_proj.bias")
-        flat[dst + "self_attn/o_proj/kernel"] = find(
-            src + "self_attn.o_proj.weight").T
         for p in ("gate", "up", "down"):
-            flat[dst + f"mlp/{p}_proj/kernel"] = find(
-                src + f"mlp.{p}_proj.weight").T
+            out[f"mlp/{p}_proj/kernel"] = find(src + f"mlp.{p}_proj.weight").T
+        return out
+
+    if cfg.scan_layers:
+        per = [layer_items(i) for i in range(n)]
+        for k in per[0]:
+            flat[f"layers/layer/{k}"] = np.stack([p[k] for p in per])
+    else:
+        for i in range(n):
+            for k, v in layer_items(i).items():
+                flat[f"layers_{i}/{k}"] = v
     return {"params": flax.traverse_util.unflatten_dict(flat, sep="/")}

@@ -37,7 +37,10 @@ def hf_model():
     return model
 
 
-def test_hidden_states_minus2_parity(hf_model):
+@pytest.mark.parametrize("scan", [True, False])
+def test_hidden_states_minus2_parity(hf_model, scan):
+    import dataclasses
+
     import torch
 
     ids = np.array([[1, 5, 9, 20, 7, 3, 0, 0]], np.int64)
@@ -48,9 +51,10 @@ def test_hidden_states_minus2_parity(hf_model):
                        output_hidden_states=True)
     want = out.hidden_states[-2].numpy()
 
+    cfg = dataclasses.replace(TINY_QWEN, scan_layers=scan)
     sd = {("model." + k): v.numpy() for k, v in hf_model.state_dict().items()}
-    variables = convert_qwen2_state_dict(sd, TINY_QWEN)
-    enc = Qwen2TextEncoder(TINY_QWEN)
+    variables = convert_qwen2_state_dict(sd, cfg)
+    enc = Qwen2TextEncoder(cfg)
     got = enc.apply(variables, jnp.asarray(ids), jnp.asarray(mask))
     # valid positions must agree tightly
     np.testing.assert_allclose(np.asarray(got)[:, :6], want[:, :6],
