@@ -26,6 +26,7 @@ import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,8 +72,23 @@ class Transformer3DConfig:
         default_factory=lambda: MotionModuleConfig(
             attention_block_types=("Temporal_Self", "Global_Self")))
     time_position_encoding_before_transformer: bool = False
+    # patchify variants (reference transformer3d.py:203-276, patch.py):
+    #   "2d"        per-frame PatchEmbed (all shipped configs)
+    #   "3d"        PatchEmbed3D: conv (tp,p,p) stride (tp,p,p)
+    #   "fake_3d"   PatchEmbedF3D: 2D conv + strided temporal 1D conv,
+    #               mirrored by UnPatch1D (2x nearest + conv1d) at the output
+    #   "casual_3d" CasualPatchEmbed3D: front-replicate-padded causal 3D conv,
+    #               f' = (f-1)//tp+1, with mid-stack TemporalUpsampler3D at
+    #               casual_3d_upsampler_index (transformer3d.py:591-595)
+    patch_mode: str = "2d"
+    time_patch_size: Optional[int] = None
+    casual_3d_upsampler_index: Tuple[int, ...] = ()
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
+
+    @property
+    def t_patch(self):
+        return self.time_patch_size or self.patch_size
 
     @property
     def inner_dim(self):
@@ -316,10 +332,49 @@ class Transformer3D(nn.Module):
         if control_latents is not None:
             hidden_states = jnp.concatenate([hidden_states, control_latents], 1)
 
-        # patchify per frame + 2D sincos pos embed (PixArt PatchEmbed)
+        # patchify + 2D sincos pos embed (PixArt PatchEmbed & 3D variants)
         x = jnp.transpose(hidden_states, (0, 2, 3, 4, 1)).astype(dt)
-        x = nn.Conv(dim, (p, p), strides=(p, p), padding="VALID", dtype=dt,
-                    name="pos_embed_proj")(x.reshape(b * f, hh, ww, -1))
+        tp = cfg.t_patch
+        if cfg.patch_mode == "2d":
+            x = nn.Conv(dim, (p, p), strides=(p, p), padding="VALID",
+                        dtype=dt, name="pos_embed_proj")(
+                x.reshape(b * f, hh, ww, -1))
+        elif cfg.patch_mode == "3d":
+            x = nn.Conv(dim, (tp, p, p), strides=(tp, p, p), padding="VALID",
+                        dtype=dt, name="pos_embed_proj")(x)
+            f = f // tp
+            x = x.reshape(b * f, h * w, dim)
+        elif cfg.patch_mode == "casual_3d":
+            # replicate-pad tp-1 frames at the front: f' = (f-1)//tp + 1
+            x = jnp.concatenate(
+                [jnp.repeat(x[:, :1], tp - 1, axis=1), x], axis=1)
+            x = nn.Conv(dim, (tp, p, p), strides=(tp, p, p), padding="VALID",
+                        dtype=dt, name="pos_embed_proj")(x)
+            f = (f - 1) // tp + 1
+            x = x.reshape(b * f, h * w, dim)
+        elif cfg.patch_mode == "fake_3d":
+            # 2D conv per frame, then strided temporal conv1d initialised to
+            # an average (patch.py:83-88 Patch1D)
+            x = nn.Conv(dim, (p, p), strides=(p, p), padding="VALID",
+                        dtype=dt, name="pos_embed_proj")(
+                x.reshape(b * f, hh, ww, -1))
+            x = x.reshape(b, f, h * w, dim).transpose(0, 2, 1, 3)
+
+            def _avg_init(key, shape, dtype=jnp.float32):
+                kern = np.zeros(shape, np.float32)
+                for i in range(shape[-1]):
+                    kern[:, i, i] = 1.0 / shape[0]
+                return jnp.asarray(kern, dtype)
+
+            x = nn.Conv(dim, (p,), strides=(p,), padding="VALID",
+                        kernel_init=_avg_init,
+                        bias_init=nn.initializers.zeros,
+                        dtype=dt, name="pos_embed_proj_t")(
+                x.reshape(b * h * w, f, dim))
+            f = f // p
+            x = x.reshape(b, h * w, f, dim).transpose(0, 2, 1, 3)
+        else:
+            raise ValueError(f"unknown patch_mode {cfg.patch_mode}")
         x = x.reshape(b * f, h * w, dim)
         x = x + jnp.asarray(_sincos_2d(dim, h, w), dt)[None]
         x = x.reshape(b, f * h * w, dim)
@@ -351,6 +406,17 @@ class Transformer3D(nn.Module):
                               dtype=dt, name=f"long_connect_fc{skip_idx}")
                 x = x + fc(skips.pop())
                 skip_idx += 1
+            if (cfg.patch_mode == "casual_3d"
+                    and i in cfg.casual_3d_upsampler_index):
+                # TemporalUpsampler3D (patch.py:142-154): keep frame 0, 2x
+                # linear-in-time upsample of the rest -> f' = (f-1)*2+1
+                g = x.reshape(b, f, h, w, dim)
+                first, rest = g[:, :1], g[:, 1:]
+                rest = jax.image.resize(
+                    rest, (b, 2 * (f - 1), h, w, dim), method="linear")
+                f = (f - 1) * 2 + 1
+                x = jnp.concatenate([first, rest], 1).reshape(
+                    b, f * h * w, dim)
             motion = (cfg.motion_module_even if i % 2 == 0
                       else cfg.motion_module_odd) if use_motion else None
             x = TemporalTransformerBlock(
@@ -362,6 +428,17 @@ class Transformer3D(nn.Module):
             if cfg.enable_uvit and i < 13:
                 skips.append(x)
 
+        if cfg.patch_mode == "fake_3d":
+            # UnPatch1D (patch.py:97-130): 2x nearest over time + conv1d k3
+            g = x.reshape(b, f, h * w, dim).transpose(0, 2, 1, 3)
+            g = g.reshape(b * h * w, f, dim)
+            g = jnp.repeat(g, 2, axis=1)
+            g = nn.Conv(dim, (3,), padding="SAME", dtype=dt,
+                        name="unpatch1d_conv")(g)
+            f = 2 * f
+            x = g.reshape(b, h * w, f, dim).transpose(0, 2, 1, 3)
+            x = x.reshape(b, f * h * w, dim)
+
         # output: scale_shift_table(2, dim) + embedded timestep
         table = self.param("scale_shift_table",
                            nn.initializers.normal(dim ** -0.5), (2, dim),
@@ -369,6 +446,14 @@ class Transformer3D(nn.Module):
         mods = table[None] + emb[:, None]
         shift, scale = mods[:, 0][:, None], mods[:, 1][:, None]
         x = fp32_layer_norm(x, eps=1e-6) * (1 + scale) + shift
+        if cfg.patch_mode == "3d":
+            tp = cfg.t_patch
+            x = nn.Dense(tp * p * p * cfg.out_channels, dtype=dt,
+                         name="proj_out")(x)
+            x = x.reshape(b, f, h, w, tp, p, p, cfg.out_channels)
+            # nfhwopqc -> ncfohpwq (transformer3d.py:684)
+            x = jnp.einsum("nfhwopqc->ncfohpwq", x)
+            return x.reshape(b, cfg.out_channels, f * tp, h * p, w * p)
         x = nn.Dense(p * p * cfg.out_channels, dtype=dt, name="proj_out")(x)
         return unpatchify(x, f, h, w, p, cfg.out_channels)
 

@@ -64,6 +64,21 @@ def build_transformer(config: Dict[str, Any], dtype: str = "bfloat16",
                     **_filter_fields(MotionModuleConfig, dict(
                         mk, grid=kw.get("motion_module_type") == "VanillaGrid")))
         kw.pop("motion_module_kwargs", None)
+        # reference boolean flags -> patch_mode (transformer3d.py:203-208)
+        if "patch_mode" not in kw:
+            if kw.pop("casual_3d", False):
+                kw["patch_mode"] = "casual_3d"
+            elif kw.get("patch_3d", False) and kw.get("fake_3d", False):
+                kw["patch_mode"] = "fake_3d"
+            elif kw.get("patch_3d", False):
+                kw["patch_mode"] = "3d"
+        kw.pop("patch_3d", None)
+        kw.pop("fake_3d", None)
+        if kw.get("casual_3d_upsampler_index") is None:
+            kw.pop("casual_3d_upsampler_index", None)
+        else:
+            kw["casual_3d_upsampler_index"] = tuple(
+                kw["casual_3d_upsampler_index"])
         cfg = Transformer3DConfig(
             dtype=dtype, **mm_fields,
             **_filter_fields(Transformer3DConfig, kw))

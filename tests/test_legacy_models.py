@@ -83,3 +83,70 @@ def test_hunyuan_forward(rng, block_type):
     out = model.apply(params, lat, jnp.array([5.0]), bert, rope, t5, m1, m2)
     assert out.shape == (1, 8, f, hh, ww)  # learn_sigma -> 2x channels
     assert np.isfinite(np.asarray(out)).all()
+
+def _tiny_patch_cfg(**kw):
+    return dataclasses.replace(
+        TINY_V3, basic_block_type="motionmodule", enable_uvit=False,
+        num_layers=2, **kw)
+
+
+def test_patch_3d_forward(rng):
+    cfg = _tiny_patch_cfg(patch_mode="3d", time_patch_size=2)
+    model = Transformer3D(cfg)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 4, 8, 8)).astype(np.float32))
+    txt = jnp.zeros((1, 6, 24))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt, None)
+    out = model.apply(params, lat, jnp.array([1.0]), txt, None)
+    # time patchify 2 then unpatchify 2: frames round-trip
+    assert out.shape == (1, 8, 4, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fake_3d_forward(rng):
+    cfg = _tiny_patch_cfg(patch_mode="fake_3d")
+    model = Transformer3D(cfg)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 4, 8, 8)).astype(np.float32))
+    txt = jnp.zeros((1, 6, 24))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt, None)
+    out = model.apply(params, lat, jnp.array([1.0]), txt, None)
+    # temporal Patch1D stride p=2 then UnPatch1D 2x: frames round-trip
+    assert out.shape == (1, 8, 4, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    # Patch1D conv is average-initialised (patch.py:83-88)
+    import flax
+    flat = flax.traverse_util.flatten_dict(params["params"], sep="/")
+    k = np.asarray(flat["pos_embed_proj_t/kernel"])  # (p, dim, dim)
+    assert np.allclose(k.sum(0), np.eye(k.shape[-1]))
+
+
+def test_casual_3d_forward(rng):
+    # f=5, tp=2 -> f'=3 tokens; one mid-stack TemporalUpsampler3D -> 5 frames
+    cfg = _tiny_patch_cfg(patch_mode="casual_3d", time_patch_size=2,
+                          casual_3d_upsampler_index=(1,))
+    model = Transformer3D(cfg)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 5, 8, 8)).astype(np.float32))
+    txt = jnp.zeros((1, 6, 24))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt, None)
+    out = model.apply(params, lat, jnp.array([1.0]), txt, None)
+    assert out.shape == (1, 8, 5, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_patch_mode_from_yaml_flags():
+    from easyanimate_tpu.utils.config import build_transformer
+
+    base = dict(transformer_type="Transformer3DModel",
+                num_attention_heads=2, attention_head_dim=16,
+                num_layers=2, caption_channels=24, enable_uvit=False,
+                basic_block_type="basic")
+    _, cfg = build_transformer(dict(base, patch_3d=True, fake_3d=False,
+                                    time_patch_size=2))
+    assert cfg.patch_mode == "3d" and cfg.t_patch == 2
+    _, cfg = build_transformer(dict(base, patch_3d=True, fake_3d=True))
+    assert cfg.patch_mode == "fake_3d"
+    _, cfg = build_transformer(dict(base, casual_3d=True,
+                                    casual_3d_upsampler_index=[16, 20]))
+    assert cfg.patch_mode == "casual_3d"
+    assert cfg.casual_3d_upsampler_index == (16, 20)
+    _, cfg = build_transformer(dict(base, patch_3d=False, fake_3d=False))
+    assert cfg.patch_mode == "2d"
