@@ -15,9 +15,15 @@ embeddings.py + processor.py:10-216. Covered:
     decoder half with bilinearly resized K RoPE (processor.py:105-216)
   - hybrid local attention: 2-frame windows averaged over two offset
     groupings (attention.py:946-998)
-  - CLIP image branch (Resampler + gated cross-attn) and the bidirectional
-    Mamba2 residual branch are gated out with NotImplementedError (the
-    published V4 checkpoints default to the basic block).
+  - CLIP image branch for I2V: a perceiver Resampler (resampler.py:83-146)
+    turns CLIP vision patch tokens into n_query context tokens (padded with a
+    learned table where clip_attention_mask is 0, transformer3d.py:1096-1103),
+    consumed per block by a gated cross-attention
+    (norm_clip -> attn_clip -> GEGLU -> norm_clip_out, attention.py:860-874
+    and 1007-1016).
+  - the bidirectional Mamba2 residual branch is gated out with
+    NotImplementedError (the published V4 checkpoints default to the basic
+    block).
   - AdaLayerNormContinuous out + learned-sigma 2x output channels
 """
 import dataclasses
@@ -56,6 +62,9 @@ class HunyuanConfig:
     text_len: int = 77
     text_len_t5: int = 256
     basic_block_type: str = "basic"  # 'basic'|'kvcompression_basic'|'hybrid_attention'
+    enable_clip_in_inpaint: bool = True
+    n_query: int = 16
+    projection_dim: int = 768
     time_position_encoding: bool = False
     after_norm: bool = False
     qk_norm: bool = True
@@ -206,6 +215,54 @@ class HunyuanAttention(nn.Module):
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(o)
 
 
+class Resampler(nn.Module):
+    """Perceiver resampler (resampler.py:83-146): grid_size**2 learned
+    queries cross-attend once into the image tokens; 2D sincos position
+    tables on q and (bicubically resized, resampler.py:15-31) on kv."""
+
+    grid_size: int
+    embed_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, kv_dim) with N a perfect square
+        dt = self.dtype
+        dim = self.embed_dim
+        nq = self.grid_size ** 2
+        b, n, kv_dim = x.shape
+        query = self.param("query", nn.initializers.normal(0.02),
+                           (nq, dim), jnp.float32)
+        q_pos = jnp.asarray(_sincos_2d(dim, self.grid_size, self.grid_size),
+                            jnp.float32)
+        src = int(round(math.sqrt(n)))
+        if src * src != n:
+            raise ValueError(f"Resampler kv length {n} is not square")
+        kv_pos = q_pos
+        if src != self.grid_size:
+            kv_pos = jax.image.resize(
+                q_pos.reshape(self.grid_size, self.grid_size, dim),
+                (src, src, dim), "bicubic").reshape(n, dim)
+        if kv_dim != dim:
+            x = nn.Dense(dim, use_bias=False, dtype=dt, name="kv_proj")(x)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                       name=name)
+        q = ln("ln_q")(query)[None] + q_pos[None]
+        kv = ln("ln_kv")(x.astype(jnp.float32))
+        k = kv + kv_pos[None]
+        v = kv
+        dense = lambda name: nn.Dense(dim, dtype=dt, name=name)
+        hd = dim // self.num_heads
+        heads = lambda a: a.reshape(a.shape[0], -1, self.num_heads, hd
+                                    ).transpose(0, 2, 1, 3)
+        qh = heads(jnp.broadcast_to(dense("q_in")(q.astype(dt)), (b, nq, dim)))
+        kh = heads(dense("k_in")(k.astype(dt)))
+        vh = heads(dense("v_in")(v.astype(dt)))
+        o = attention_op(qh, kh, vh, impl="xla")
+        o = o.transpose(0, 2, 1, 3).reshape(b, nq, dim)
+        return dense("out_proj")(o)
+
+
 class HunyuanDiTBlock(nn.Module):
     cfg: HunyuanConfig
     skip: bool = False
@@ -214,7 +271,8 @@ class HunyuanDiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, text, temb, rope, skip_states=None, grid=None,
-                 text_bias=None, disable_rope_in_attn1=False):
+                 text_bias=None, disable_rope_in_attn1=False,
+                 clip_context=None):
         cfg = self.cfg
         dim = cfg.inner_dim
         dt = cfg.jdtype
@@ -277,6 +335,28 @@ class HunyuanDiTBlock(nn.Module):
         x = x + attn2(x, context=text, rope=rope_full, grid=grid,
                       bias=text_bias)
 
+        # gated CLIP-image cross-attention (attention.py:1007-1016)
+        if clip_context is not None:
+            cw = self.param("norm_clip_scale", nn.initializers.ones,
+                            (dim,), jnp.float32)
+            cb = self.param("norm_clip_bias", nn.initializers.zeros,
+                            (dim,), jnp.float32)
+            attn_clip = HunyuanAttention(cfg.num_attention_heads,
+                                         cfg.attention_head_dim,
+                                         cross_dim=cfg.cross_attention_dim,
+                                         dtype=dt, name="attn_clip")
+            a = attn_clip(fp32_layer_norm(x, cw, cb, cfg.norm_eps),
+                          context=clip_context, rope=rope_full, grid=grid)
+            # GEGLU dim->dim
+            gp = nn.Dense(2 * dim, dtype=dt, name="gate_clip")(a)
+            val, gate = jnp.split(gp, 2, axis=-1)
+            g = val * nn.gelu(gate, approximate=False)
+            ow = self.param("norm_clip_out_scale", nn.initializers.ones,
+                            (dim,), jnp.float32)
+            ob = self.param("norm_clip_out_bias", nn.initializers.zeros,
+                            (dim,), jnp.float32)
+            x = x + fp32_layer_norm(g, ow, ob, cfg.norm_eps)
+
         # FFN
         w3 = self.param("norm3_scale", nn.initializers.ones, (dim,), jnp.float32)
         b3 = self.param("norm3_bias", nn.initializers.zeros, (dim,), jnp.float32)
@@ -308,7 +388,8 @@ class HunyuanTransformer3D(nn.Module):
                  rope=None, encoder_hidden_states_t5=None,
                  text_embedding_mask=None, text_embedding_mask_t5=None,
                  image_meta_size=None, style=None, inpaint_latents=None,
-                 control_latents=None):
+                 control_latents=None, clip_encoder_hidden_states=None,
+                 clip_attention_mask=None):
         cfg = self.cfg
         dt = cfg.jdtype
         dim = cfg.inner_dim
@@ -350,6 +431,24 @@ class HunyuanTransformer3D(nn.Module):
             text = jnp.where(mask[..., None].astype(bool), text,
                              pad_table[None].astype(dt))
 
+        # CLIP image conditioning (transformer3d.py:1096-1103)
+        clip_ctx = None
+        if (clip_encoder_hidden_states is not None
+                and cfg.enable_clip_in_inpaint):
+            gq = int(round(math.sqrt(cfg.n_query)))
+            clip_ctx = Resampler(gq, cfg.cross_attention_dim,
+                                 cfg.num_attention_heads, dtype=dt,
+                                 name="clip_projection")(
+                clip_encoder_hidden_states.astype(dt))
+            clip_pad = self.param("clip_padding",
+                                  nn.initializers.normal(0.02),
+                                  (cfg.n_query, cfg.cross_attention_dim),
+                                  jnp.float32)
+            if clip_attention_mask is not None:
+                clip_ctx = jnp.where(
+                    clip_attention_mask[..., None].astype(bool), clip_ctx,
+                    clip_pad[None].astype(dt))
+
         grid = (f, gh, gw)
         half = cfg.num_layers // 2
         skips = []
@@ -364,7 +463,7 @@ class HunyuanTransformer3D(nn.Module):
                 name=f"block{layer}")
             skip_states = skips.pop() if layer > half else None
             x = block(x, text, temb, rope, skip_states=skip_states, grid=grid,
-                      disable_rope_in_attn1=layer == 0)
+                      disable_rope_in_attn1=layer == 0, clip_context=clip_ctx)
             if layer < half - 1:
                 skips.append(x)
 

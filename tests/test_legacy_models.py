@@ -150,3 +150,29 @@ def test_patch_mode_from_yaml_flags():
     assert cfg.casual_3d_upsampler_index == (16, 20)
     _, cfg = build_transformer(dict(base, patch_3d=False, fake_3d=False))
     assert cfg.patch_mode == "2d"
+
+def test_hunyuan_clip_image_branch(rng):
+    cfg = dataclasses.replace(TINY_V4, n_query=4, projection_dim=12)
+    model = HunyuanTransformer3D(cfg)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32))
+    bert = jnp.zeros((1, 7, cfg.cross_attention_dim))
+    t5 = jnp.zeros((1, 5, cfg.cross_attention_dim_t5))
+    clip = jnp.asarray(rng.standard_normal((1, 16, 12)).astype(np.float32))
+    mask = jnp.ones((1, 4))
+    kw = dict(clip_encoder_hidden_states=clip, clip_attention_mask=mask)
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), bert,
+                        None, t5, **kw)
+    out = model.apply(params, lat, jnp.array([1.0]), bert, None, t5, **kw)
+    assert out.shape == (1, 8, 2, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    # padding table replaces masked resampler tokens: all-zero mask must
+    # change the output
+    out2 = model.apply(params, lat, jnp.array([1.0]), bert, None, t5,
+                       clip_encoder_hidden_states=clip,
+                       clip_attention_mask=jnp.zeros((1, 4)))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    import flax
+    flat = flax.traverse_util.flatten_dict(params["params"], sep="/")
+    assert "clip_projection/query" in flat
+    assert flat["clip_padding"].shape == (4, cfg.cross_attention_dim)
+    assert "block0/attn_clip/to_q/kernel" in flat
