@@ -65,6 +65,13 @@ class HunyuanConfig:
     enable_clip_in_inpaint: bool = True
     n_query: int = 16
     projection_dim: int = 768
+    # pipeline-facing flags (config/easyanimate_video_v4_*.yaml): V4 encodes
+    # the inpaint mask through the VAE rather than resizing it directly, and
+    # does not noise-augment the reference video
+    resize_inpaint_mask_directly: bool = False
+    add_noise_in_inpaint_model: bool = False
+    time_position_encoding_type: str = "2d_rope"
+    vae_scale_factor: int = 8
     time_position_encoding: bool = False
     after_norm: bool = False
     qk_norm: bool = True

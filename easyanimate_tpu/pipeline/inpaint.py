@@ -80,6 +80,10 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         noise_aug_strength: float = 0.0563,
         rng: Optional[jax.Array] = None,
         output_type: str = "np",
+        prompt_embeds_t5: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds_t5: Optional[jnp.ndarray] = None,
+        clip_encoder_hidden_states: Optional[jnp.ndarray] = None,
+        clip_attention_mask: Optional[jnp.ndarray] = None,
         **kw,
     ):
         cfg = self.mmdit_cfg
@@ -147,6 +151,18 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         else:
             cond = {}
 
+        # V4 I2V CLIP-image conditioning: the unconditional half gets zero
+        # states and a zero mask (pipeline_easyanimate_inpaint.py:1277-1310)
+        if clip_encoder_hidden_states is not None:
+            clip = clip_encoder_hidden_states
+            cmask = (clip_attention_mask if clip_attention_mask is not None
+                     else jnp.ones((b, getattr(cfg, "n_query", 16))))
+            if guidance_scale > 1.0:
+                clip = jnp.concatenate([jnp.zeros_like(clip), clip])
+                cmask = jnp.concatenate([jnp.zeros_like(cmask), cmask])
+            cond["clip_encoder_hidden_states"] = clip.astype(dt)
+            cond["clip_attention_mask"] = cmask
+
         # --- initial latents ------------------------------------------------
         if is_strength_max or video_latents is None:
             latents = noise
@@ -165,13 +181,18 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
 
         # --- CFG text, rope, denoise ----------------------------------------
         txt = prompt_embeds
+        txt_t5 = prompt_embeds_t5
         if guidance_scale > 1.0:
             txt = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
+            if txt_t5 is not None:
+                txt_t5 = jnp.concatenate(
+                    [negative_prompt_embeds_t5, prompt_embeds_t5])
         rope = build_rope(cfg, height, width, shape[2],
                           vae_scale=self.vae_cfg.spatial_compression)
         denoise = self._denoise_fn(num_inference_steps, float(guidance_scale),
-                                   float(guidance_rescale), False, t_start)
-        latents = denoise(self.transformer_params, latents, txt, None, rope,
+                                   float(guidance_rescale), txt_t5 is not None,
+                                   t_start)
+        latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           cond)
         if output_type == "latent":
             return latents

@@ -61,11 +61,11 @@ def build_rope(cfg: MMDiTConfig, height: int, width: int, latent_frames: int,
         cos, sin = get_3d_rotary_pos_embed(
             cfg.attention_head_dim, crop, (gh, gw), latent_frames)
     else:
+        # 2d_rope (V4 Hunyuan): single-frame tables; the model tiles them
+        # over frames inside each block (transformer3d.py:1078-1085)
         base = 512 // s
         crop = get_resize_crop_region_for_grid((gh, gw), base, base)
         cos, sin = get_2d_rotary_pos_embed(cfg.attention_head_dim, crop, (gh, gw))
-        cos = np.tile(cos, (latent_frames, 1))
-        sin = np.tile(sin, (latent_frames, 1))
     return jnp.asarray(cos), jnp.asarray(sin)
 
 

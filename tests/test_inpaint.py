@@ -157,3 +157,44 @@ def test_control_pipeline_camera(rng):
                video_length=5, num_inference_steps=2, guidance_scale=3.0,
                output_type="latent", rng=jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(out)).all()
+
+def test_v4_hunyuan_i2v_pipeline_with_clip(rng):
+    """V4 end-to-end: Hunyuan inpaint transformer + CLIP image branch through
+    the inpaint pipeline (pipeline_easyanimate_inpaint.py:1277-1310)."""
+    from easyanimate_tpu.models.hunyuan import HunyuanConfig, HunyuanTransformer3D
+
+    # in_channels = latent 4 + mask 4 + masked 4 (VAE-encoded mask)
+    cfg = HunyuanConfig(
+        num_attention_heads=2, attention_head_dim=16, in_channels=12,
+        out_channels=4, learn_sigma=False, num_layers=2,
+        cross_attention_dim=32, cross_attention_dim_t5=48,
+        pooled_projection_dim=32, text_len=6, text_len_t5=5,
+        n_query=4, projection_dim=12, dtype="float32")
+    transformer = HunyuanTransformer3D(cfg)
+    vae = AutoencoderKLMagvit(TINY_VAE)
+    h = w = 32
+    lat = jnp.zeros((1, 12, 3, h // 2, w // 2))  # TINY_VAE compression 2
+    bert = jnp.zeros((1, 6, 32))
+    t5 = jnp.zeros((1, 5, 48))
+    clip = jnp.zeros((1, 16, 12))
+    from easyanimate_tpu.pipeline.t2v import build_rope
+    rope = build_rope(cfg, h, w, 3, vae_scale=2)
+    tp = transformer.init(
+        jax.random.PRNGKey(0), lat[:, :4], jnp.array([1.0]), bert, rope,
+        encoder_hidden_states_t5=t5, inpaint_latents=lat[:, 4:],
+        clip_encoder_hidden_states=clip, clip_attention_mask=jnp.ones((1, 4)))
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = EasyAnimateInpaintPipeline(
+        transformer=transformer, vae=vae, transformer_params=tp,
+        vae_params=vp)
+    video = jnp.asarray(rng.random((1, 3, 5, h, w)).astype(np.float32))
+    mask = jnp.ones((1, 1, 5, h, w)).at[:, :, 0].set(0.0)
+    out = pipe(
+        bert, jnp.zeros_like(bert), video=video, mask_video=mask,
+        height=h, width=w, video_length=5, num_inference_steps=2,
+        guidance_scale=2.0,
+        prompt_embeds_t5=t5, negative_prompt_embeds_t5=jnp.zeros_like(t5),
+        clip_encoder_hidden_states=clip,
+        clip_attention_mask=jnp.ones((1, 4)))
+    assert out.shape == (1, 3, 5, h, w)
+    assert np.isfinite(np.asarray(out)).all()
