@@ -1,0 +1,44 @@
+"""Serving entry point (reference app.py equivalent).
+
+The reference launches a gradio UI plus an HTTP API; gradio isn't in this
+image, so this serves the same /easyanimate/infer_forward +
+/easyanimate/update_diffusion_transformer protocol over the stdlib HTTP
+server (api/api.py parity). Point the reference's client
+(api/post_infer.py, mirrored in easyanimate_tpu/api/client.py) at it.
+
+  python examples/app.py --model_path models/EasyAnimateV5.1-12b-zh \
+      --server_port 7860
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--pipeline", default="inpaint",
+                    choices=["t2v", "inpaint", "control"])
+    ap.add_argument("--fp8", action="store_true")
+    ap.add_argument("--scheduler", default="Flow")
+    ap.add_argument("--server_port", type=int, default=7860)
+    args = ap.parse_args()
+
+    from easyanimate_tpu.api.server import EasyAnimateAPIServer
+    from easyanimate_tpu.loader import load_pipeline
+    from easyanimate_tpu.ui.controller import EasyAnimateController
+
+    pipe = load_pipeline(args.model_path, args.pipeline,
+                         fp8_weights=args.fp8, scheduler=args.scheduler)
+    controller = EasyAnimateController(pipeline=pipe)
+
+    server = EasyAnimateAPIServer(controller)
+    print(f"serving on http://0.0.0.0:{args.server_port} "
+          "(POST /easyanimate/infer_forward)")
+    server.serve(port=args.server_port)
+
+
+if __name__ == "__main__":
+    main()
