@@ -270,3 +270,97 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
 
     return load_file(path)
+
+
+def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray], cfg):
+    """diffusers AutoencoderKLCogVideoX weights -> AutoencoderKLCogVideoX
+    (cogvideox.py) tree. Key layout per
+    diffusers/models/autoencoders/autoencoder_kl_cogvideox.py (the reference
+    imports these blocks at vae/ldm/models/cogvideox_enc_dec.py:20-22)."""
+    mapping: Dict[str, tuple] = {}
+
+    def spatial_norm(src, dst):
+        return {
+            f"{src}.norm_layer.weight": (f"{dst}/norm_layer/scale", None),
+            f"{src}.norm_layer.bias": (f"{dst}/norm_layer/bias", None),
+            f"{src}.conv_y.conv.weight":
+                (f"{dst}/conv_y/kernel", lambda w: _t(w[:, :, 0, 0, 0])),
+            f"{src}.conv_y.conv.bias": (f"{dst}/conv_y/bias", None),
+            f"{src}.conv_b.conv.weight":
+                (f"{dst}/conv_b/kernel", lambda w: _t(w[:, :, 0, 0, 0])),
+            f"{src}.conv_b.conv.bias": (f"{dst}/conv_b/bias", None),
+        }
+
+    def res(src, dst, spatial):
+        out = {
+            f"{src}.conv1.conv.weight": (f"{dst}/conv1/kernel", _conv3d),
+            f"{src}.conv1.conv.bias": (f"{dst}/conv1/bias", None),
+            f"{src}.conv2.conv.weight": (f"{dst}/conv2/kernel", _conv3d),
+            f"{src}.conv2.conv.bias": (f"{dst}/conv2/bias", None),
+            f"{src}.conv_shortcut.weight":
+                (f"{dst}/conv_shortcut/kernel",
+                 lambda w: _t(w[:, :, 0, 0, 0])),
+            f"{src}.conv_shortcut.bias": (f"{dst}/conv_shortcut/bias", None),
+        }
+        for n in ("norm1", "norm2"):
+            if spatial:
+                out.update(spatial_norm(f"{src}.{n}", f"{dst}/{n}"))
+            else:
+                out[f"{src}.{n}.weight"] = (f"{dst}/{n}/scale", None)
+                out[f"{src}.{n}.bias"] = (f"{dst}/{n}/bias", None)
+        return out
+
+    n = len(cfg.block_out_channels)
+    for pre, short, kind, n_res, spatial in (
+            ("encoder", "down", "down_blocks", cfg.layers_per_block, False),
+            ("decoder", "up", "up_blocks", cfg.layers_per_block + 1, True)):
+        mapping.update({
+            f"{pre}.conv_in.conv.weight": (f"{pre}/conv_in/kernel", _conv3d),
+            f"{pre}.conv_in.conv.bias": (f"{pre}/conv_in/bias", None),
+            f"{pre}.conv_out.conv.weight": (f"{pre}/conv_out/kernel", _conv3d),
+            f"{pre}.conv_out.conv.bias": (f"{pre}/conv_out/bias", None),
+        })
+        if pre == "encoder":
+            mapping.update({
+                "encoder.norm_out.weight": ("encoder/norm_out/scale", None),
+                "encoder.norm_out.bias": ("encoder/norm_out/bias", None),
+            })
+        else:
+            mapping.update(spatial_norm("decoder.norm_out",
+                                        "decoder/norm_out"))
+        for j in range(2):
+            mapping.update(res(f"{pre}.mid_block.resnets.{j}",
+                               f"{pre}/mid_res{j}", spatial))
+        for i in range(n):
+            for j in range(n_res):
+                mapping.update(res(f"{pre}.{kind}.{i}.resnets.{j}",
+                                   f"{pre}/{short}{i}_res{j}", spatial))
+            if i < n - 1:
+                samp = ("downsamplers" if pre == "encoder" else "upsamplers")
+                # per-frame Conv2d (OIHW) -> (1, kh, kw, I, O)
+                mapping.update({
+                    f"{pre}.{kind}.{i}.{samp}.0.conv.weight":
+                        (f"{pre}/{short}{i}_{samp[:-1]}/conv/kernel",
+                         lambda w: _conv2d(w)[None]),
+                    f"{pre}.{kind}.{i}.{samp}.0.conv.bias":
+                        (f"{pre}/{short}{i}_{samp[:-1]}/conv/bias", None),
+                })
+    if cfg.use_quant_conv:
+        mapping.update({
+            "quant_conv.weight": ("quant_conv/kernel",
+                                  lambda w: _t(w[:, :, 0, 0, 0])),
+            "quant_conv.bias": ("quant_conv/bias", None),
+            "post_quant_conv.weight": ("post_quant_conv/kernel",
+                                       lambda w: _t(w[:, :, 0, 0, 0])),
+            "post_quant_conv.bias": ("post_quant_conv/bias", None),
+        })
+
+    flat, consumed = {}, set()
+    for src, (dst, fn) in mapping.items():
+        if src in sd:
+            flat[dst] = fn(sd[src]) if fn else np.asarray(sd[src])
+            consumed.add(src)
+    leftover = set(sd) - consumed
+    if leftover:
+        raise ValueError(f"unmapped CogVideoX keys: {sorted(leftover)[:8]}...")
+    return {"params": _nest(flat)}

@@ -23,3 +23,12 @@ __all__ = [
 from .magvit import smooth_output, vae_decode_tiled, vae_encode_tiled  # noqa: E402
 
 __all__ += ["smooth_output", "vae_decode_tiled", "vae_encode_tiled"]
+
+from .cogvideox import (  # noqa: E402
+    AutoencoderKLCogVideoX,
+    CogVideoXVAEConfig,
+    cog_latent_frame_count,
+)
+
+__all__ += ["AutoencoderKLCogVideoX", "CogVideoXVAEConfig",
+            "cog_latent_frame_count"]

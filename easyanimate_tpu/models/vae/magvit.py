@@ -260,6 +260,10 @@ def vae_encode(vae: AutoencoderKLMagvit, params, video: jnp.ndarray,
         moments = _chunked_apply(apply_fn, video, cfg.mini_batch_encoder)
     elif cfg.chunk_mode == "slice_mag":
         moments = _slice_apply(apply_fn, video, cfg.mini_batch_encoder)
+    elif cfg.chunk_mode == "cog":
+        from .cogvideox import chunked_apply_cog
+
+        moments = chunked_apply_cog(apply_fn, video, cfg.mini_batch_encoder)
     else:
         moments, _ = apply_fn(video, None)
     if channels_first:
@@ -278,6 +282,10 @@ def vae_decode(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
         video = _chunked_apply(apply_fn, latents, cfg.mini_batch_decoder)
     elif cfg.chunk_mode == "slice_mag":
         video = _slice_apply(apply_fn, latents, cfg.mini_batch_decoder)
+    elif cfg.chunk_mode == "cog":
+        from .cogvideox import chunked_apply_cog
+
+        video = chunked_apply_cog(apply_fn, latents, cfg.mini_batch_decoder)
     else:
         video, _ = apply_fn(latents, None)
     if channels_first:
@@ -380,6 +388,10 @@ def _run_chunk_mode(apply_fn, x, cfg, chunk):
         return _chunked_apply(apply_fn, x, chunk)
     if cfg.chunk_mode == "slice_mag":
         return _slice_apply(apply_fn, x, chunk)
+    if cfg.chunk_mode == "cog":
+        from .cogvideox import chunked_apply_cog
+
+        return chunked_apply_cog(apply_fn, x, chunk)
     return apply_fn(x, None)[0]
 
 

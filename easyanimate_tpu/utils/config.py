@@ -18,7 +18,7 @@ from ..models.transformer3d_legacy import (
     Transformer3D,
     Transformer3DConfig,
 )
-from ..models.vae import AutoencoderKLMagvit
+from ..models.vae import AutoencoderKLCogVideoX, AutoencoderKLMagvit
 
 # reference registry parity (models/__init__.py:6-15)
 name_to_transformer3d = {
@@ -28,6 +28,7 @@ name_to_transformer3d = {
 }
 name_to_autoencoder_magvit = {
     "AutoencoderKLMagvit": AutoencoderKLMagvit,
+    "AutoencoderKLCogVideoX": AutoencoderKLCogVideoX,
 }
 
 
