@@ -83,6 +83,10 @@ class Transformer3DConfig:
     patch_mode: str = "2d"
     time_patch_size: Optional[int] = None
     casual_3d_upsampler_index: Tuple[int, ...] = ()
+    # pipeline-facing: V1-V3 use sinusoidal PEs, so build_rope's 2d branch
+    # output is simply ignored by the model
+    time_position_encoding_type: str = "sinusoidal"
+    vae_scale_factor: int = 8
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
 

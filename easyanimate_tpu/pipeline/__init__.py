@@ -12,6 +12,7 @@ from .schedulers import (
 from .t2v import EasyAnimatePipeline, build_rope
 from .inpaint import EasyAnimateInpaintPipeline
 from .control import EasyAnimateControlPipeline
+from .pixart import PixArtMagvitPipeline
 
 __all__ = [
     "DDIMConfig",
@@ -19,6 +20,7 @@ __all__ = [
     "EasyAnimatePipeline",
     "EasyAnimateInpaintPipeline",
     "EasyAnimateControlPipeline",
+    "PixArtMagvitPipeline",
     "build_rope",
     "ddim_add_noise",
     "ddim_schedule",

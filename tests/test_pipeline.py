@@ -170,3 +170,33 @@ def test_t2v_dpm_solver_path():
                num_inference_steps=4, guidance_scale=2.0,
                output_type="latent", rng=jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(lat)).all()
+
+def test_pixart_image_pipeline(rng):
+    """V1 image path: Transformer2D + Magvit VAE through
+    PixArtMagvitPipeline (pipeline_pixart_magvit.py parity)."""
+    import dataclasses as dc
+
+    from easyanimate_tpu.models.transformer3d_legacy import (
+        Transformer2D,
+        Transformer3DConfig,
+    )
+    from easyanimate_tpu.pipeline import DDIMConfig, PixArtMagvitPipeline
+
+    cfg = Transformer3DConfig(
+        num_attention_heads=2, attention_head_dim=16, in_channels=4,
+        out_channels=8, num_layers=2, caption_channels=24,
+        basic_block_type="basic", enable_uvit=False, dtype="float32")
+    model = Transformer2D(cfg)
+    vae = AutoencoderKLMagvit(TINY_VAE)
+    lat = jnp.zeros((1, 4, 1, 16, 16))
+    txt = jnp.zeros((1, 6, 24))
+    tp = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt, None)
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = PixArtMagvitPipeline(
+        transformer=model, vae=vae, transformer_params=tp, vae_params=vp,
+        scheduler=DDIMConfig())
+    pos = jnp.asarray(rng.standard_normal((1, 6, 24)).astype(np.float32))
+    img = pipe(pos, jnp.zeros_like(pos), height=32, width=32,
+               num_inference_steps=2, guidance_scale=3.0)
+    assert img.shape == (1, 3, 32, 32)
+    assert np.isfinite(img).all()
