@@ -21,9 +21,9 @@ embeddings.py + processor.py:10-216. Covered:
     consumed per block by a gated cross-attention
     (norm_clip -> attn_clip -> GEGLU -> norm_clip_out, attention.py:860-874
     and 1007-1016).
-  - the bidirectional Mamba2 residual branch is gated out with
-    NotImplementedError (the published V4 checkpoints default to the basic
-    block).
+  - bidirectional Mamba2 residual branch on hybrid blocks: pure-JAX SSD
+    via associative scan (ops/ssd.py; reference attention.py:825-848 uses
+    the mamba_ssm CUDA kernel), zero-init output linear.
   - AdaLayerNormContinuous out + learned-sigma 2x output channels
 """
 import dataclasses
@@ -72,6 +72,10 @@ class HunyuanConfig:
     add_noise_in_inpaint_model: bool = False
     time_position_encoding_type: str = "2d_rope"
     vae_scale_factor: int = 8
+    # bidirectional Mamba2 residual on hybrid_attention blocks
+    # (attention.py:825-848)
+    enable_mamba: bool = True
+    mamba_d_model: int = 1536
     time_position_encoding: bool = False
     after_norm: bool = False
     qk_norm: bool = True
@@ -318,7 +322,7 @@ class HunyuanDiTBlock(nn.Module):
                                  dtype=dt, name="attn1")
         if self.is_local_attention and f > 2:
             d = gh * gw
-            r1 = None if disable_rope_in_attn1 else (
+            r1 = None if disable_rope_in_attn1 or rope_full is None else (
                 rope_full[0][: 2 * d], rope_full[1][: 2 * d])
             b = xn.shape[0]
             g = xn.reshape(b, f, d, dim)
@@ -333,6 +337,34 @@ class HunyuanDiTBlock(nn.Module):
         else:
             attn_out = attn1(xn, rope=attn1_rope, grid=grid)
         x = x + attn_out
+
+        # bidirectional Mamba2 residual on hybrid blocks
+        # (attention.py:825-848, 985-998); out_linear is zero-init so the
+        # branch is an identity at initialisation
+        if self.is_local_attention and f > 2 and cfg.enable_mamba:
+            from ..ops.ssd import Mamba2Block, Mamba2Config
+
+            mcfg = Mamba2Config(d_model=cfg.mamba_d_model)
+            ln = lambda width, name: (
+                self.param(f"{name}_scale", nn.initializers.ones, (width,),
+                           jnp.float32),
+                self.param(f"{name}_bias", nn.initializers.zeros, (width,),
+                           jnp.float32))
+            w, bparam = ln(dim, "mamba_norm_in")
+            hin = nn.Dense(mcfg.d_model, dtype=dt, name="mamba_in_linear")(
+                fp32_layer_norm(x, w, bparam, cfg.norm_eps))
+            w1, b1 = ln(mcfg.d_model, "mamba_norm_1")
+            w2, b2 = ln(mcfg.d_model, "mamba_norm_2")
+            y1 = Mamba2Block(mcfg, dtype=dt, name="mamba_block_1")(
+                fp32_layer_norm(hin, w1, b1, cfg.norm_eps))
+            y2 = Mamba2Block(mcfg, dtype=dt, name="mamba_block_2")(
+                fp32_layer_norm(hin[:, ::-1], w2, b2, cfg.norm_eps))[:, ::-1]
+            wa, ba = ln(mcfg.d_model, "mamba_norm_after")
+            out = nn.Dense(dim, kernel_init=nn.initializers.zeros, dtype=dt,
+                           name="mamba_out_linear")(
+                fp32_layer_norm(y1 + y2, wa, ba, cfg.norm_eps))
+            wo, bo = ln(dim, "mamba_norm_out")
+            x = x + fp32_layer_norm(out, wo, bo, cfg.norm_eps)
 
         # cross-attention (rope on q only)
         attn2 = HunyuanAttention(cfg.num_attention_heads,
