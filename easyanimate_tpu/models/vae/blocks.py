@@ -114,6 +114,40 @@ class _DownsamplerST(nn.Module):
         return y, {"conv": c}
 
 
+
+class GlobalContextBlock(nn.Module):
+    """Per-frame global-context modulation (gc_block.py:7-80): softmax
+    attention-pooled context vector -> 1x1 bottleneck MLP -> sigmoid gate
+    (fusion 'mul') or additive term ('add'). Enabled per down/up block via
+    MagvitVAEConfig.use_gc_blocks."""
+
+    features: int
+    fusion: str = "mul"
+    min_channels: int = 16
+    init_bias: float = -10.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H, W, C)
+        b, t, h, w, c = x.shape
+        xf = x.reshape(b * t, h * w, c).astype(jnp.float32)
+        ctx_w = nn.Dense(1, dtype=jnp.float32, name="conv_ctx")(xf)
+        ctx_w = jax.nn.softmax(ctx_w, axis=1)           # over pixels
+        ctx = jnp.einsum("bnl,bnc->bc", ctx_w, xf)       # (b*t, C)
+        num = max(self.min_channels, self.features // 2)
+        hdn = nn.Dense(num, dtype=jnp.float32, name="fc1")(ctx)
+        hdn = nn.LayerNorm(dtype=jnp.float32, name="ln")(hdn)
+        hdn = nn.leaky_relu(hdn, 0.1)
+        term = nn.Dense(
+            self.features, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.constant(self.init_bias),
+            dtype=jnp.float32, name="fc2")(hdn)
+        term = term.reshape(b, t, 1, 1, self.features)
+        if self.fusion == "mul":
+            return x * jax.nn.sigmoid(term).astype(x.dtype)
+        return x + term.astype(x.dtype)
+
+
 class DownBlock3D(nn.Module):
     """Shared body for (Spatial|Temporal|SpatialTemporal|plain) down blocks."""
 
@@ -123,6 +157,7 @@ class DownBlock3D(nn.Module):
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
     spatial_norm: bool = True
+    add_gc_block: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -134,6 +169,9 @@ class DownBlock3D(nn.Module):
                 self.out_channels, self.norm_num_groups, self.norm_eps,
                 self.spatial_norm, dtype=self.dtype, name=name,
             )(x, _sub(cache, name))
+        if self.add_gc_block:
+            x = GlobalContextBlock(self.out_channels, dtype=self.dtype,
+                                   name="gc_block")(x)
         if self.downsample is not None:
             stride = {
                 "spatial": (1, 2, 2),
@@ -208,6 +246,7 @@ class UpBlock3D(nn.Module):
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
     spatial_norm: bool = True
+    add_gc_block: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -219,6 +258,9 @@ class UpBlock3D(nn.Module):
                 self.out_channels, self.norm_num_groups, self.norm_eps,
                 self.spatial_norm, dtype=self.dtype, name=name,
             )(x, _sub(cache, name))
+        if self.add_gc_block:
+            x = GlobalContextBlock(self.out_channels, dtype=self.dtype,
+                                   name="gc_block")(x)
         if self.upsample == "spatial_temporal":
             x, new_cache["up"] = SpatialTemporalUpsampler3D(
                 self.out_channels, self.spatial_norm, dtype=self.dtype,

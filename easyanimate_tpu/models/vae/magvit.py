@@ -57,6 +57,8 @@ class MagvitVAEConfig:
     mid_block_attention_type: str = "spatial"
     mid_block_use_attention: bool = True
     spatial_group_norm: bool = True
+    # per-block GlobalContextBlock toggle (omnigen_enc_dec.py:88-93)
+    use_gc_blocks: Optional[Tuple[bool, ...]] = None
     mini_batch_encoder: int = 4
     mini_batch_decoder: int = 1
     scaling_factor: float = 0.7119
@@ -107,6 +109,8 @@ class Encoder(nn.Module):
                 downsample=None if is_final else _DOWN_KIND[block_type],
                 norm_num_groups=cfg.norm_num_groups,
                 spatial_norm=cfg.spatial_group_norm,
+                add_gc_block=bool(cfg.use_gc_blocks[i]
+                                  if cfg.use_gc_blocks else False),
                 dtype=dt,
                 name=name,
             )(x, _sub(cache, name))
@@ -158,6 +162,8 @@ class Decoder(nn.Module):
                 upsample=None if is_final else _UP_KIND[block_type],
                 norm_num_groups=cfg.norm_num_groups,
                 spatial_norm=cfg.spatial_group_norm,
+                add_gc_block=bool(cfg.use_gc_blocks[-(i + 1)]
+                                  if cfg.use_gc_blocks else False),
                 dtype=dt,
                 name=name,
             )(z, _sub(cache, name))

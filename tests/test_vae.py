@@ -174,3 +174,31 @@ def test_smooth_output_runs(tiny_vae, rng):
     out = smooth_output(vae, params, video)
     assert out.shape == video.shape
     assert np.isfinite(np.asarray(out)).all()
+
+def test_gc_block_gates_and_preserves_shape(rng):
+    """GlobalContextBlock (gc_block.py:7-80): sigmoid-gated per-frame
+    modulation, near-closed gate at init (bias -10)."""
+    import dataclasses as dc
+
+    from easyanimate_tpu.models.vae.blocks import GlobalContextBlock
+
+    gc = GlobalContextBlock(8)
+    x = jnp.asarray(rng.standard_normal((1, 3, 4, 4, 8)).astype(np.float32))
+    params = gc.init(jax.random.PRNGKey(0), x)
+    y = gc.apply(params, x)
+    assert y.shape == x.shape
+    # init bias -10 -> sigmoid ~ 4.5e-5: output is a heavily gated copy
+    assert float(jnp.abs(y).max()) < 1e-3 * float(jnp.abs(x).max()) + 1e-4
+
+    cfg = dc.replace(TINY, use_gc_blocks=(True, False))
+    vae = AutoencoderKLMagvit(cfg)
+    vid = jnp.zeros((1, 3, 16, 16, 3))
+    vp = vae.init(jax.random.PRNGKey(0), vid)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(vp["params"], sep="/")
+    assert any("down0/gc_block" in k for k in flat)
+    assert not any("down1/gc_block" in k for k in flat)
+    assert any("up1/gc_block" in k for k in flat)   # mirrored order
+    out = vae.apply(vp, vid)
+    assert np.isfinite(np.asarray(out)).all()
