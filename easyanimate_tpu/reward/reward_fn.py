@@ -144,8 +144,9 @@ def convert_aesthetic_head(sd) -> dict:
     return out
 
 
-class MPSReward:
-    def __init__(self, *a, **kw):
-        raise NotImplementedError(
-            "MPS uses a vendored cross-attention scorer "
-            "(reward/MPS/trainer/models/cross_modeling.py); port pending")
+def MPSReward(*args, **kw):
+    """MPS scorer lives in mps.py (flax port of the vendored cross-attention
+    model); kept here for the reference's import location."""
+    from .mps import MPSReward as _MPS
+
+    return _MPS(*args, **kw)
