@@ -170,7 +170,8 @@ class VAELossConfig:
     perceptual_weight: float = 1.0
     disc_weight: float = 0.5
     disc_start: int = 50001
-    outlier_penalty: float = 1e5  # posterior magnitude clamp (contperceptual)
+    outlier_penalty: float = 1e5  # weight (contperceptual.py:13)
+    outlier_penalty_r: float = 3.0  # std multiples before penalty kicks in
 
 
 def reconstruction_loss(cfg: VAELossConfig, inputs, recon,
@@ -190,16 +191,27 @@ def reconstruction_loss(cfg: VAELossConfig, inputs, recon,
     return jnp.mean(rec), aux
 
 
+def outlier_penalty_loss(x, r: float) -> jnp.ndarray:
+    """Posterior-mode outlier penalty (contperceptual.py:56-66): per-frame
+    spatial mean/std, penalize |x - mean| beyond r stds, spatial average.
+    x: (B, T, H, W, C) posterior mode."""
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+    std = jnp.std(x, axis=(2, 3), keepdims=True)
+    penalty = nn.relu(jnp.abs(x - mean) - r * std)
+    return jnp.mean(jnp.sum(penalty, axis=(2, 3))
+                    / (x.shape[2] * x.shape[3]))
+
+
 def kl_and_outlier_loss(cfg: VAELossConfig, moments) -> jnp.ndarray:
-    """KL vs N(0,I) plus the reference's posterior-outlier penalty
-    (contperceptual.py:56-66, penalizes |mean| and |logvar| blowups)."""
+    """KL vs N(0,I) plus the reference's posterior-outlier penalty on the
+    posterior mode (contperceptual.py:56-66, :104)."""
     mean, logvar = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
     logvar = jnp.clip(logvar, -30.0, 20.0)
     kl = 0.5 * jnp.sum(jnp.square(mean) + jnp.exp(logvar) - 1.0 - logvar,
                        axis=tuple(range(1, mean.ndim)))
-    outlier = (jnp.mean(nn.relu(jnp.abs(mean) - 10.0))
-               + jnp.mean(nn.relu(jnp.abs(logvar) - 10.0)))
-    return cfg.kl_weight * jnp.mean(kl) + outlier
+    outlier = outlier_penalty_loss(mean, cfg.outlier_penalty_r)
+    return cfg.kl_weight * jnp.mean(kl) + cfg.outlier_penalty * outlier
 
 
 def adaptive_gan_weight(nll_grad_norm, gan_grad_norm,

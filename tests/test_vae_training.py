@@ -89,3 +89,20 @@ def test_vae_gan_training_steps(rng):
     state, _ = jax.jit(ae_step)(state, batch, jax.random.PRNGKey(4))
     p1 = jax.tree.leaves(state.vae_params)[0]
     assert np.abs(np.asarray(p1) - np.asarray(p0)).max() > 0
+
+def test_outlier_penalty_matches_reference_semantics(rng):
+    """contperceptual.py:56-66: zero for in-distribution values, positive for
+    spatial outliers, exact agreement with a numpy re-derivation."""
+    from easyanimate_tpu.training.vae_losses import outlier_penalty_loss
+
+    x = rng.standard_normal((2, 3, 8, 8, 4)).astype(np.float32)
+    x[0, 0, 0, 0, 0] = 100.0
+    got = float(outlier_penalty_loss(jnp.asarray(x), 3.0))
+    mean = x.mean(axis=(2, 3), keepdims=True)
+    std = x.std(axis=(2, 3), keepdims=True)
+    pen = np.maximum(np.abs(x - mean) - 3.0 * std, 0.0)
+    want = float((pen.sum(axis=(2, 3)) / (8 * 8)).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert got > 0
+    x2 = rng.standard_normal((1, 2, 8, 8, 4)).astype(np.float32) * 0.01
+    assert float(outlier_penalty_loss(jnp.asarray(x2), 3.0)) >= 0.0
