@@ -31,3 +31,7 @@ __all__ = [
 from .dataset import ImageVideoControlDataset  # noqa: E402
 
 __all__ += ["ImageVideoControlDataset"]
+
+from .legacy_datasets import CC15M, WebVid10M  # noqa: E402
+
+__all__ += ["CC15M", "WebVid10M"]

@@ -119,3 +119,43 @@ def test_comfyui_mappings_importable():
     assert set(m.NODE_CLASS_MAPPINGS) == {
         "LoadEasyAnimateTPUModel", "LoadEasyAnimateTPULora",
         "EasyAnimateTPUSampler"}
+
+def test_legacy_datasets(tmp_path, rng):
+    """WebVid10M csv manifest + CC15M json manifest (dataset_video.py:80,
+    dataset_image.py:12)."""
+    import csv
+    import json
+
+    import cv2
+
+    from easyanimate_tpu.data import CC15M, WebVid10M
+
+    # write a tiny video + csv
+    vid_path = tmp_path / "123.mp4"
+    w = cv2.VideoWriter(str(vid_path), cv2.VideoWriter_fourcc(*"mp4v"), 8,
+                        (32, 24))
+    for _ in range(12):
+        w.write((rng.random((24, 32, 3)) * 255).astype(np.uint8))
+    w.release()
+    with open(tmp_path / "meta.csv", "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=["videoid", "name", "page_dir"])
+        wr.writeheader()
+        wr.writerow({"videoid": "123", "name": "a cat", "page_dir": "x"})
+    ds = WebVid10M(str(tmp_path / "meta.csv"), str(tmp_path),
+                   sample_size=16, sample_n_frames=4, sample_stride=2,
+                   enable_inpaint=True)
+    s = ds[0]
+    assert s["pixel_values"].shape == (4, 3, 16, 16)
+    assert s["text"] == "a cat"
+    assert s["mask"].shape == (4, 1, 16, 16)
+    assert s["mask_pixel_values"].shape == (4, 3, 16, 16)
+    assert s["pixel_values"].min() >= -1.0 and s["pixel_values"].max() <= 1.0
+
+    img_path = tmp_path / "img.png"
+    cv2.imwrite(str(img_path), (rng.random((20, 28, 3)) * 255).astype(np.uint8))
+    with open(tmp_path / "meta.json", "w") as f:
+        json.dump([{"file_path": "img.png", "text": "a dog"}], f)
+    ds2 = CC15M(str(tmp_path / "meta.json"), str(tmp_path), resolution=16)
+    s2 = ds2[0]
+    assert s2["pixel_values"].shape == (3, 16, 16)
+    assert s2["text"] == "a dog"
