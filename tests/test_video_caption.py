@@ -78,3 +78,36 @@ def test_run_preprocessing_end_to_end(tmp_path):
     assert len(data) >= 1
     assert data[0]["text"] == "a white square moves"
     assert os.path.exists(data[0]["file_path"])
+
+def test_caption_rewrite_extraction_and_manifest():
+    from easyanimate_tpu.video_caption.recaption import (
+        beautiful_prompt,
+        extract_output,
+        filter_meta_train,
+        rewrite_manifest,
+    )
+
+    ok = '{"rewritten description": "A vivid scene."}'
+    assert extract_output(ok) == "A vivid scene."
+    assert extract_output("not json") is None
+    assert extract_output('{"wrong key": "x"}') is None
+    assert extract_output('{"rewritten description": unquoted}') is None
+
+    llm = lambda p: '{"rewritten description": "REWRITTEN"}'
+    out = rewrite_manifest([{"text": "a cat"}], llm)
+    assert out[0]["text"] == "REWRITTEN"
+    bad_llm = lambda p: "garbage"
+    out = rewrite_manifest([{"text": "a cat"}], bad_llm)
+    assert out[0]["text"] == "a cat"   # failure keeps the original
+
+    bp = lambda p: '{"detailed prompt": "A cinematic shot."}'
+    assert beautiful_prompt("cat", bp) == "A cinematic shot."
+
+    entries = [
+        {"motion_score": 5.0, "semantic_consistency": 0.9},
+        {"motion_score": 0.5},                       # too static
+        {"motion_score": 5.0, "text_score": 0.5},    # too much text
+        {"aesthetic_score": 2.0},                    # ugly
+    ]
+    kept = filter_meta_train(entries)
+    assert len(kept) == 1 and kept[0]["motion_score"] == 5.0
