@@ -84,6 +84,7 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         negative_prompt_embeds_t5: Optional[jnp.ndarray] = None,
         clip_encoder_hidden_states: Optional[jnp.ndarray] = None,
         clip_attention_mask: Optional[jnp.ndarray] = None,
+        clip_apply_ratio: float = 0.40,
         **kw,
     ):
         cfg = self.mmdit_cfg
@@ -189,9 +190,12 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
                     [negative_prompt_embeds_t5, prompt_embeds_t5])
         rope = build_rope(cfg, height, width, shape[2],
                           vae_scale=self.vae_cfg.spatial_compression)
-        denoise = self._denoise_fn(num_inference_steps, float(guidance_scale),
-                                   float(guidance_rescale), txt_t5 is not None,
-                                   t_start)
+        denoise = self._denoise_fn(
+            num_inference_steps, float(guidance_scale),
+            float(guidance_rescale), txt_t5 is not None, t_start,
+            clip_apply_ratio=(float(clip_apply_ratio)
+                              if clip_encoder_hidden_states is not None
+                              else None))
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           cond)
         if output_type == "latent":

@@ -178,7 +178,8 @@ class EasyAnimatePipeline:
     @functools.lru_cache(maxsize=16)
     def _denoise_fn(self, steps: int, guidance_scale: float,
                     guidance_rescale: float, has_t5: bool, t_start: int = 0,
-                    teacache_threshold: Optional[float] = None):
+                    teacache_threshold: Optional[float] = None,
+                    clip_apply_ratio: Optional[float] = None):
         sched = self.scheduler
         model = self.transformer
         latent_channels = self.vae_cfg.latent_channels
@@ -193,6 +194,16 @@ class EasyAnimatePipeline:
 
         def forward(params, lat, step, txt, txt_t5, rope, cond, tea_carry):
             """One transformer eval, optionally TeaCache-gated."""
+            if (clip_apply_ratio is not None
+                    and "clip_encoder_hidden_states" in cond):
+                # zero CLIP conditioning for the first (1 - ratio) of the
+                # schedule (pipeline_easyanimate_inpaint.py:1509-1515)
+                gate = step[3] >= (1.0 - clip_apply_ratio) * n_steps
+                cond = dict(cond)
+                cond["clip_encoder_hidden_states"] = jnp.where(
+                    gate, cond["clip_encoder_hidden_states"], 0.0)
+                cond["clip_attention_mask"] = jnp.where(
+                    gate, cond["clip_attention_mask"], 0.0)
             lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
             t_vec = jnp.full((lat_in.shape[0],), step[0], jnp.float32)
             if teacache_threshold is None:
