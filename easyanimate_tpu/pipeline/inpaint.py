@@ -85,6 +85,7 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         clip_encoder_hidden_states: Optional[jnp.ndarray] = None,
         clip_attention_mask: Optional[jnp.ndarray] = None,
         clip_apply_ratio: float = 0.40,
+        scan_chunk: Optional[int] = None,
         **kw,
     ):
         cfg = self.mmdit_cfg
@@ -195,7 +196,8 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
             float(guidance_rescale), txt_t5 is not None, t_start,
             clip_apply_ratio=(float(clip_apply_ratio)
                               if clip_encoder_hidden_states is not None
-                              else None))
+                              else None),
+            scan_chunk=scan_chunk)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           cond)
         if output_type == "latent":

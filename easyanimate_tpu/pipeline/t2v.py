@@ -116,6 +116,7 @@ class EasyAnimatePipeline:
         output_type: str = "np",               # 'np' | 'latent'
         decode: bool = True,
         teacache_threshold: Optional[float] = None,
+        scan_chunk: Optional[int] = None,
     ):
         b = prompt_embeds.shape[0]
         do_cfg = guidance_scale > 1.0
@@ -144,7 +145,7 @@ class EasyAnimatePipeline:
         denoise = self._denoise_fn(
             num_inference_steps, float(guidance_scale),
             float(guidance_rescale), txt_t5 is not None, 0,
-            teacache_threshold)
+            teacache_threshold, scan_chunk=scan_chunk)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           {})
 
@@ -179,7 +180,8 @@ class EasyAnimatePipeline:
     def _denoise_fn(self, steps: int, guidance_scale: float,
                     guidance_rescale: float, has_t5: bool, t_start: int = 0,
                     teacache_threshold: Optional[float] = None,
-                    clip_apply_ratio: Optional[float] = None):
+                    clip_apply_ratio: Optional[float] = None,
+                    scan_chunk: Optional[int] = None):
         sched = self.scheduler
         model = self.transformer
         latent_channels = self.vae_cfg.latent_channels
@@ -240,21 +242,7 @@ class EasyAnimatePipeline:
             pred = model.apply(params, vid_out, t_, hh, ww, method="head")
             return pred, (mod, res, acc_out)
 
-        @jax.jit
-        def run(params, latents, txt, txt_t5, rope, cond):
-            prev_x0 = (jnp.zeros_like(latents, jnp.float32)
-                       if isinstance(sched, DPMSolverConfig) else None)
-            if teacache_threshold is not None:
-                b = latents.shape[0] * (2 if do_cfg else 1)
-                s_vid = ((latents.shape[3] // self.mmdit_cfg.patch_size)
-                         * (latents.shape[4] // self.mmdit_cfg.patch_size)
-                         * latents.shape[2])
-                zeros = jnp.zeros((b, s_vid, self.mmdit_cfg.inner_dim),
-                                  self.mmdit_cfg.jdtype)
-                tea0 = (zeros, zeros, jnp.zeros((), jnp.float32))
-            else:
-                tea0 = None
-
+        def scan_segment(params, carry, seg_steps, txt, txt_t5, rope, cond):
             def body(carry, step):
                 lat, tea, prev_x0 = carry
                 if isinstance(sched, FlowMatchEulerConfig):
@@ -281,9 +269,38 @@ class EasyAnimatePipeline:
                                     alphas_cumprod, final_alpha)
                 return (lat, tea, prev_x0), None
 
-            (latents, _, _), _ = jax.lax.scan(
-                body, (latents, tea0, prev_x0), per_step)
-            return latents
+            return jax.lax.scan(body, carry, seg_steps)[0]
+
+        seg_jit = jax.jit(scan_segment, donate_argnums=(1,))
+
+        def run(params, latents, txt, txt_t5, rope, cond):
+            prev_x0 = (jnp.zeros_like(latents, jnp.float32)
+                       if isinstance(sched, DPMSolverConfig) else None)
+            if teacache_threshold is not None:
+                b = latents.shape[0] * (2 if do_cfg else 1)
+                s_vid = ((latents.shape[3] // self.mmdit_cfg.patch_size)
+                         * (latents.shape[4] // self.mmdit_cfg.patch_size)
+                         * latents.shape[2])
+                shape_tok = (b, s_vid, self.mmdit_cfg.inner_dim)
+                # two distinct buffers: the donated carry may not alias
+                tea0 = (jnp.zeros(shape_tok, self.mmdit_cfg.jdtype),
+                        jnp.zeros(shape_tok, self.mmdit_cfg.jdtype),
+                        jnp.zeros((), jnp.float32))
+            else:
+                tea0 = None
+            carry = (latents, tea0, prev_x0)
+            # Chunk the schedule into bounded-runtime device programs: a
+            # single program running for minutes can exceed the TPU runtime's
+            # execution deadline (observed on tunneled single-chip setups as
+            # a worker "kernel fault"). Segments of equal length share one
+            # compilation; the loop carry (latents + TeaCache state) threads
+            # through unchanged, so the result is bit-identical to one scan.
+            n = per_step.shape[0]
+            c = scan_chunk if scan_chunk else n
+            for k in range(0, n, c):
+                carry = seg_jit(params, carry, per_step[k:k + c], txt,
+                                txt_t5, rope, cond)
+            return carry[0]
 
         return run
 

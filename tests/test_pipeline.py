@@ -200,3 +200,23 @@ def test_pixart_image_pipeline(rng):
                num_inference_steps=2, guidance_scale=3.0)
     assert img.shape == (1, 3, 32, 32)
     assert np.isfinite(img).all()
+
+def test_scan_chunk_equals_full_scan(rng):
+    """Chunked denoise segments must be bit-identical to one full scan
+    (bounded-runtime device programs for deadline-limited runtimes)."""
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pos = jnp.asarray(rng.standard_normal((1, 6, cfg.text_embed_dim))
+                      .astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    kw = dict(height=32, width=32, video_length=5, num_inference_steps=5,
+              guidance_scale=3.0, rng=jax.random.PRNGKey(7),
+              output_type="latent")
+    full = pipe(pos, neg, **kw)
+    chunked = pipe(pos, neg, scan_chunk=2, **kw)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-5, rtol=1e-5)
+    # TeaCache state threads across segment boundaries too
+    full_tc = pipe(pos, neg, teacache_threshold=0.3, **kw)
+    chunk_tc = pipe(pos, neg, teacache_threshold=0.3, scan_chunk=2, **kw)
+    np.testing.assert_allclose(np.asarray(full_tc), np.asarray(chunk_tc),
+                               atol=1e-5, rtol=1e-5)
