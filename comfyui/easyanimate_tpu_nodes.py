@@ -10,6 +10,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -98,3 +99,151 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "LoadEasyAnimateTPULora": "Load EasyAnimate-TPU LoRA",
     "EasyAnimateTPUSampler": "EasyAnimate-TPU Sampler",
 }
+
+
+class EasyAnimateTPUTextBox:
+    """Prompt passthrough (reference TextBox, comfyui_nodes.py:368-400)."""
+
+    CATEGORY = "EasyAnimateTPU"
+    RETURN_TYPES = ("STRING_PROMPT",)
+    FUNCTION = "process"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"prompt": ("STRING", {"multiline": True})}}
+
+    def process(self, prompt):
+        return (prompt,)
+
+
+class CreateTrajectoryTPU:
+    """Track-point coordinates -> gaussian trajectory control video
+    (comfyui_nodes.py:1078-1135)."""
+
+    CATEGORY = "EasyAnimateTPU"
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "createtrajectory"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"coordinates": ("STRING", {"forceInput": True}),
+                             "masks": ("MASK", {"forceInput": True})}}
+
+    def createtrajectory(self, coordinates, masks):
+        import json
+
+        from camera_utils import trajectory_images
+
+        if isinstance(coordinates, str):
+            coordinates = [coordinates]
+        coords_list = [
+            [(c["x"], c["y"]) for c in json.loads(cs.replace("'", '"'))]
+            for cs in coordinates]
+        _, h, w = np.asarray(masks).shape
+        return (trajectory_images(coords_list, h, w),)
+
+
+class CameraBasicTPU:
+    """Preset camera motion -> trajectory (comfyui_nodes.py:1164-1196)."""
+
+    CATEGORY = "EasyAnimateTPU"
+    RETURN_TYPES = ("CameraPose",)
+    FUNCTION = "run"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from camera_utils import CAMERA
+
+        motions = [k for k in CAMERA if not k.startswith("base_")]
+        return {"required": {"camera_pose": (motions,),
+                             "speed": ("FLOAT", {"default": 1.0}),
+                             "video_length": ("INT", {"default": 16})}}
+
+    def run(self, camera_pose, speed, video_length):
+        from camera_utils import CAMERA, get_camera_motion
+
+        p = CAMERA[camera_pose]
+        return (get_camera_motion(p["angle"], p["T"], speed, video_length),)
+
+
+class CameraJoinTPU:
+    """Concatenate two trajectories (comfyui_nodes.py:1225-1244)."""
+
+    CATEGORY = "EasyAnimateTPU"
+    RETURN_TYPES = ("CameraPose",)
+    FUNCTION = "run"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"camera_pose1": ("CameraPose",),
+                             "camera_pose2": ("CameraPose",)}}
+
+    def run(self, camera_pose1, camera_pose2):
+        from camera_utils import combine_camera_motion
+
+        return (combine_camera_motion(camera_pose1, camera_pose2),)
+
+
+class CameraCombineTPU:
+    """Sum up to four preset motions into one trajectory
+    (comfyui_nodes.py:1198-1223)."""
+
+    CATEGORY = "EasyAnimateTPU"
+    RETURN_TYPES = ("CameraPose",)
+    FUNCTION = "run"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from camera_utils import CAMERA
+
+        motions = [k for k in CAMERA if not k.startswith("base_")]
+        req = {f"camera_pose{i}": (motions,) for i in range(1, 5)}
+        req.update({"speed": ("FLOAT", {"default": 1.0}),
+                    "video_length": ("INT", {"default": 16})})
+        return {"required": req}
+
+    def run(self, camera_pose1, camera_pose2, camera_pose3, camera_pose4,
+            speed, video_length):
+        from camera_utils import CAMERA, get_camera_motion
+
+        angle = np.sum([CAMERA[p]["angle"] for p in
+                        (camera_pose1, camera_pose2, camera_pose3,
+                         camera_pose4)], axis=0)
+        T = np.sum([CAMERA[p]["T"] for p in
+                    (camera_pose1, camera_pose2, camera_pose3,
+                     camera_pose4)], axis=0)
+        return (get_camera_motion(angle, T, speed, video_length),)
+
+
+class CameraTrajectoryTPU:
+    """[R|T] trajectory -> per-frame pose rows (RealEstate10K layout) ready
+    for plucker_embedding (comfyui_nodes.py:1246-1264)."""
+
+    CATEGORY = "EasyAnimateTPU"
+    RETURN_TYPES = ("STRING", "INT")
+    FUNCTION = "run"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"camera_pose": ("CameraPose",),
+                             "fx": ("FLOAT", {"default": 0.474812}),
+                             "fy": ("FLOAT", {"default": 0.844111}),
+                             "cx": ("FLOAT", {"default": 0.5}),
+                             "cy": ("FLOAT", {"default": 0.5})}}
+
+    def run(self, camera_pose, fx, fy, cx, cy):
+        import json
+
+        traj = [[fx, fy, cx, cy, 0, 0] + pose.ravel().tolist()
+                for pose in np.asarray(camera_pose)]
+        return (json.dumps(traj), len(traj))
+
+
+NODE_CLASS_MAPPINGS.update({
+    "EasyAnimateTPUTextBox": EasyAnimateTPUTextBox,
+    "CreateTrajectoryTPU": CreateTrajectoryTPU,
+    "CameraBasicTPU": CameraBasicTPU,
+    "CameraJoinTPU": CameraJoinTPU,
+    "CameraCombineTPU": CameraCombineTPU,
+    "CameraTrajectoryTPU": CameraTrajectoryTPU,
+})

@@ -118,7 +118,28 @@ def test_comfyui_mappings_importable():
     spec.loader.exec_module(m)
     assert set(m.NODE_CLASS_MAPPINGS) == {
         "LoadEasyAnimateTPUModel", "LoadEasyAnimateTPULora",
-        "EasyAnimateTPUSampler"}
+        "EasyAnimateTPUSampler", "EasyAnimateTPUTextBox",
+        "CreateTrajectoryTPU", "CameraBasicTPU", "CameraJoinTPU",
+        "CameraCombineTPU", "CameraTrajectoryTPU"}
+    # camera trajectory: basic pan then join doubles the length
+    basic = m.NODE_CLASS_MAPPINGS["CameraBasicTPU"]()
+    rt = basic.run("Pan Up", 1.0, 8)[0]
+    assert rt.shape == (8, 3, 4)
+    joined = m.NODE_CLASS_MAPPINGS["CameraJoinTPU"]().run(rt, rt)[0]
+    assert joined.shape == (16, 3, 4)
+    traj_json, n = m.NODE_CLASS_MAPPINGS["CameraTrajectoryTPU"]().run(
+        rt, 0.474812, 0.844111, 0.5, 0.5)
+    import json as _json
+
+    rows = _json.loads(traj_json)
+    assert n == 8 and len(rows) == 8 and len(rows[0]) == 18
+    # trajectory heatmap node
+    import numpy as _np
+
+    traj = m.NODE_CLASS_MAPPINGS["CreateTrajectoryTPU"]().createtrajectory(
+        "[{'x': 30, 'y': 40}, {'x': 60, 'y': 40}]", _np.zeros((2, 96, 128)))
+    assert traj[0].shape == (2, 96, 128, 3)
+    assert traj[0].max() > 0.5
 
 def test_legacy_datasets(tmp_path, rng):
     """WebVid10M csv manifest + CC15M json manifest (dataset_video.py:80,
