@@ -288,7 +288,9 @@ class EasyAnimatePipeline:
                         jnp.zeros((), jnp.float32))
             else:
                 tea0 = None
-            carry = (latents, tea0, prev_x0)
+            # the segments donate their carry; copy so the caller's latents
+            # buffer survives (it may be reused across calls)
+            carry = (jnp.copy(latents), tea0, prev_x0)
             # Chunk the schedule into bounded-runtime device programs: a
             # single program running for minutes can exceed the TPU runtime's
             # execution deadline (observed on tunneled single-chip setups as

@@ -150,3 +150,21 @@ def _src_name(p):
         kind = "down_blocks" if m.group(1) == "down" else "up_blocks"
         return f"{kind}.{m.group(2)}.{m.group(3)}samplers.0"
     return p
+
+
+def test_cog_tiled_decode(vae_and_params, rng):
+    """Generic spatial tiling works over the cog chunk protocol."""
+    import dataclasses
+
+    from easyanimate_tpu.models.vae import vae_decode_tiled
+
+    vae, params = vae_and_params
+    cfg = dataclasses.replace(TINY, tile_sample_min_size=16,
+                              tile_overlap_factor=0.25)
+    from easyanimate_tpu.models.vae import AutoencoderKLCogVideoX
+
+    vae_t = AutoencoderKLCogVideoX(cfg)
+    lat = jnp.asarray(rng.standard_normal((1, 3, 6, 6, 4)).astype(np.float32))
+    vid = vae_decode_tiled(vae_t, params, lat, channels_first=False)
+    assert vid.shape == (1, 9, 48, 48, 3)
+    assert np.isfinite(np.asarray(vid)).all()
