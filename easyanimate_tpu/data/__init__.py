@@ -35,3 +35,7 @@ __all__ += ["ImageVideoControlDataset"]
 from .legacy_datasets import CC15M, WebVid10M  # noqa: E402
 
 __all__ += ["CC15M", "WebVid10M"]
+
+from .prefetch import DataLoader, default_collate, device_prefetch  # noqa: E402
+
+__all__ += ["DataLoader", "default_collate", "device_prefetch"]

@@ -180,3 +180,25 @@ def test_legacy_datasets(tmp_path, rng):
     s2 = ds2[0]
     assert s2["pixel_values"].shape == (3, 16, 16)
     assert s2["text"] == "a dog"
+
+def test_dataloader_and_device_prefetch():
+    from easyanimate_tpu.data import DataLoader, device_prefetch
+
+    class DS:
+        def __getitem__(self, i):
+            return {"x": np.full((2, 2), i, np.float32), "text": f"p{i}"}
+
+    batches = list(DataLoader(DS(), [[0, 1], [2, 3], [4, 5]],
+                              num_workers=2))
+    assert len(batches) == 3
+    assert batches[0]["x"].shape == (2, 2, 2)
+    # in-order delivery
+    assert batches[1]["x"][0, 0, 0] == 2.0
+    assert batches[2]["text"] == ["p4", "p5"]
+
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 3
+    import jax
+
+    assert isinstance(out[0]["x"], jax.Array)
+    np.testing.assert_allclose(np.asarray(out[2]["x"])[1], 5.0)
