@@ -36,6 +36,10 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, sampler_state: Optional[dict] = None):
         path = self._path(step)
+        # re-saving the same step (restart/retry) replaces the old snapshot;
+        # orbax refuses to overwrite otherwise
+        if os.path.exists(os.path.join(path, "state")):
+            shutil.rmtree(path, ignore_errors=True)
         self._ckpt.save(os.path.join(path, "state"), state)
         self._ckpt.wait_until_finished()
         if sampler_state is not None:

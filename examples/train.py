@@ -54,6 +54,7 @@ def parse_args():
                     help=">0: render a validation sample every N steps "
                          "(log_validation parity)")
     ap.add_argument("--mesh", default="dp=-1,sp=1,tp=1")
+    ap.add_argument("--dataloader_num_workers", type=int, default=4)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--resume_from_checkpoint", action="store_true")
     ap.add_argument("--tiny_demo", action="store_true",
@@ -120,9 +121,13 @@ def main():
             height=args.sample_height, width=args.sample_width,
             enable_inpaint=args.enable_inpaint, seed=args.seed)
     sampler = ResumableRandomSampler(len(dataset), seed=args.seed)
-    batches = iter(AspectRatioBatchSampler(
+    batch_sampler = AspectRatioBatchSampler(
         sampler=sampler, batch_size=args.train_batch_size,
-        sample_info=dataset.sample_info()))
+        sample_info=dataset.sample_info())
+    from easyanimate_tpu.data import DataLoader
+
+    loader = iter(DataLoader(dataset, batch_sampler,
+                             num_workers=args.dataloader_num_workers))
 
     tcfg = TrainConfig(
         learning_rate=args.learning_rate, max_grad_norm=args.max_grad_norm,
@@ -157,14 +162,12 @@ def main():
 
     with mesh:
         for step in range(step0, args.max_train_steps):
-            idxs = next(batches)
-            samples = [dataset[i] for i in idxs]
-            pixels = np.stack([s["pixel_values"] for s in samples])
-            pixels = pixels * 2.0 - 1.0  # [-1, 1] for the VAE
+            loaded = next(loader)
+            pixels = loaded["pixel_values"] * 2.0 - 1.0  # [-1,1] for the VAE
             rng, r_enc, r_step = jax.random.split(rng, 3)
             moments = vae_encode(vae, vparams, jnp.asarray(pixels))
             latents = gaussian_sample(moments, r_enc, axis=1) * lat_scale
-            text = encode_text([s["text"] for s in samples])
+            text = encode_text(loaded["text"])
             batch = {
                 "latents": latents,
                 "text": text,
@@ -175,12 +178,12 @@ def main():
             }
             if args.enable_inpaint:
                 batch["inpaint_latents"] = _inpaint_latents(
-                    vae, vparams, samples, pixels, latents, lat_scale,
+                    vae, vparams, loaded, pixels, latents, lat_scale,
                     transformer.cfg)
             if args.train_mode == "control":
                 from easyanimate_tpu.models.vae import gaussian_mode
 
-                ctl = np.stack([s_["control_pixel_values"] for s_ in samples])
+                ctl = loaded["control_pixel_values"]
                 ctl_lat = gaussian_mode(
                     vae_encode(vae, vparams, jnp.asarray(ctl * 2 - 1)),
                     axis=1) * lat_scale
@@ -246,7 +249,7 @@ def _inpaint_latents(vae, vparams, samples, pixels, latents, scale, cfg):
     from easyanimate_tpu.models.vae import gaussian_mode, vae_encode
     from easyanimate_tpu.pipeline.inpaint import resize_mask_to_latent
 
-    masks = np.stack([s["mask"] for s in samples])  # (B,1,T,H,W) 1=regen
+    masks = np.asarray(samples["mask"])  # collated (B,1,T,H,W) 1=regen
     masked = jnp.asarray(pixels * (masks < 0.5))
     masked_lat = gaussian_mode(vae_encode(vae, vparams, masked), axis=1) * scale
     mask_lat = resize_mask_to_latent(
