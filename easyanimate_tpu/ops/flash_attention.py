@@ -252,6 +252,12 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv,
                interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
+    # the backward kernels hold p/dp ([bq, bkv] fp32) plus accumulators in
+    # VMEM; the forward-tuned (1024, 2048) blocks overflow the ~16M scoped
+    # limit at head_dim 64, so clamp to divisors that fit (the wrapper pads
+    # sequences to the FORWARD block sizes, so divisors always tile exactly)
+    block_q = min(block_q, 512)
+    block_kv = min(block_kv, 1024)
     nq, nkv = sq // block_q, skv // block_kv
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
