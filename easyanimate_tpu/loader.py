@@ -85,6 +85,10 @@ def vae_config_from_json(cfg: dict, dtype: str = "bfloat16") -> MagvitVAEConfig:
         chunk_mode = "cache_mag"
     elif cfg.get("slice_mag_vae"):
         chunk_mode = "slice_mag"
+    elif cfg.get("cache_compression_vae"):
+        chunk_mode = "cache_compression"
+    elif cfg.get("slice_compression_vae"):
+        chunk_mode = "slice_compression"
     return MagvitVAEConfig(
         in_channels=cfg.get("in_channels", 3),
         out_channels=cfg.get("out_channels", 3),

@@ -30,6 +30,7 @@ class ResidualBlock3D(nn.Module):
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
     spatial_norm: bool = True
+    tmode: str = "causal"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -43,13 +44,15 @@ class ResidualBlock3D(nn.Module):
                       name="norm1")(x)
         h = nn.silu(h)
         h, new_cache["conv1"] = CausalConv3d(
-            self.out_channels, dtype=self.dtype, name="conv1"
+            self.out_channels, temporal_mode=self.tmode, dtype=self.dtype,
+            name="conv1"
         )(h, _sub(cache, "conv1"))
         h = GroupNorm(self.norm_num_groups, self.norm_eps, self.spatial_norm,
                       name="norm2")(h)
         h = nn.silu(h)
         h, new_cache["conv2"] = CausalConv3d(
-            self.out_channels, dtype=self.dtype, name="conv2"
+            self.out_channels, temporal_mode=self.tmode, dtype=self.dtype,
+            name="conv2"
         )(h, _sub(cache, "conv2"))
         return h + shortcut, new_cache
 
@@ -103,13 +106,15 @@ class _DownsamplerST(nn.Module):
     out_channels: int
     stride: Tuple[int, int, int]
     spatial_padding: Optional[Tuple] = None
+    tmode: str = "causal"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cache=None):
         y, c = CausalConv3d(
             self.out_channels, stride=self.stride,
-            spatial_padding=self.spatial_padding, dtype=self.dtype, name="conv",
+            spatial_padding=self.spatial_padding, temporal_mode=self.tmode,
+            dtype=self.dtype, name="conv",
         )(x, _sub(cache, "conv"))
         return y, {"conv": c}
 
@@ -158,6 +163,7 @@ class DownBlock3D(nn.Module):
     norm_eps: float = 1e-6
     spatial_norm: bool = True
     add_gc_block: bool = False
+    tmode: str = "causal"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -167,7 +173,8 @@ class DownBlock3D(nn.Module):
             name = f"res{i}"
             x, new_cache[name] = ResidualBlock3D(
                 self.out_channels, self.norm_num_groups, self.norm_eps,
-                self.spatial_norm, dtype=self.dtype, name=name,
+                self.spatial_norm, tmode=self.tmode, dtype=self.dtype,
+                name=name,
             )(x, _sub(cache, name))
         if self.add_gc_block:
             x = GlobalContextBlock(self.out_channels, dtype=self.dtype,
@@ -180,7 +187,8 @@ class DownBlock3D(nn.Module):
             }[self.downsample]
             spad = ((0, 1), (0, 1)) if "spatial" in self.downsample else None
             x, new_cache["down"] = _DownsamplerST(
-                self.out_channels, stride, spad, dtype=self.dtype, name="down",
+                self.out_channels, stride, spad, tmode=self.tmode,
+                dtype=self.dtype, name="down",
             )(x, _sub(cache, "down"))
         return x, new_cache
 
@@ -188,15 +196,21 @@ class DownBlock3D(nn.Module):
 class SpatialTemporalUpsampler3D(nn.Module):
     """Nearest 2x spatial upsample -> causal conv -> temporal 2x upsample.
 
-    Temporal behavior matches the reference (upsamplers.py:142-153):
-      - first chunk (cache None): frames after the first are upsampled 2x,
-        frame 0 kept (a single-frame chunk is left at 1 frame);
-      - later chunks: all frames upsampled 2x.
+    Temporal behavior mirrors the reference's padding-flag dispatch
+    (upsamplers.py:142-153):
+      - up_rule "magvit" (flags 0/3/4): first chunk keeps frame 0 and
+        upsamples the rest 2x; later chunks upsample fully;
+      - up_rule "always" (flags 4/5/6, cache_compression decode): every
+        chunk upsamples fully;
+      - up_rule "chunk" (flags 1/2, slice_compression): single-frame chunks
+        stay single-frame, longer chunks upsample fully.
       - mode is 'nearest' when spatial_norm (set_3dgroupnorm) else trilinear.
     """
 
     out_channels: int
     spatial_norm: bool = True
+    tmode: str = "causal"
+    up_rule: str = "magvit"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -204,7 +218,8 @@ class SpatialTemporalUpsampler3D(nn.Module):
         b, t, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
         x, conv_cache = CausalConv3d(
-            self.out_channels, dtype=self.dtype, name="conv"
+            self.out_channels, temporal_mode=self.tmode, dtype=self.dtype,
+            name="conv"
         )(x, _sub(cache, "conv"))
 
         def temporal_up(v):
@@ -212,7 +227,12 @@ class SpatialTemporalUpsampler3D(nn.Module):
                 return jnp.repeat(v, 2, axis=1)
             return _trilinear_time2x(v)
 
-        if cache is None:
+        if self.up_rule == "always":
+            x = temporal_up(x)
+        elif self.up_rule == "chunk":
+            if t > 1:
+                x = temporal_up(x)
+        elif cache is None:
             if t > 1:
                 x = jnp.concatenate([x[:, :1], temporal_up(x[:, 1:])], axis=1)
         else:
@@ -247,6 +267,8 @@ class UpBlock3D(nn.Module):
     norm_eps: float = 1e-6
     spatial_norm: bool = True
     add_gc_block: bool = False
+    tmode: str = "causal"
+    up_rule: str = "magvit"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -256,25 +278,28 @@ class UpBlock3D(nn.Module):
             name = f"res{i}"
             x, new_cache[name] = ResidualBlock3D(
                 self.out_channels, self.norm_num_groups, self.norm_eps,
-                self.spatial_norm, dtype=self.dtype, name=name,
+                self.spatial_norm, tmode=self.tmode, dtype=self.dtype,
+                name=name,
             )(x, _sub(cache, name))
         if self.add_gc_block:
             x = GlobalContextBlock(self.out_channels, dtype=self.dtype,
                                    name="gc_block")(x)
         if self.upsample == "spatial_temporal":
             x, new_cache["up"] = SpatialTemporalUpsampler3D(
-                self.out_channels, self.spatial_norm, dtype=self.dtype,
-                name="up",
+                self.out_channels, self.spatial_norm, tmode=self.tmode,
+                up_rule=self.up_rule, dtype=self.dtype, name="up",
             )(x, _sub(cache, "up"))
         elif self.upsample == "spatial":
             b, t, h, w, c = x.shape
             x2 = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
-            x, cc = CausalConv3d(self.out_channels, dtype=self.dtype,
+            x, cc = CausalConv3d(self.out_channels, temporal_mode=self.tmode,
+                                 dtype=self.dtype,
                                  name="up_conv")(x2, _sub(cache, "up_conv"))
             new_cache["up_conv"] = cc
         elif self.upsample == "temporal":
             x2 = _temporal_first_frame_up(x, cache is None)
-            x, cc = CausalConv3d(self.out_channels, dtype=self.dtype,
+            x, cc = CausalConv3d(self.out_channels, temporal_mode=self.tmode,
+                                 dtype=self.dtype,
                                  name="up_conv")(x2, _sub(cache, "up_conv"))
             new_cache["up_conv"] = cc
         return x, new_cache
@@ -295,6 +320,7 @@ class MidBlock3D(nn.Module):
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
     spatial_norm: bool = True
+    tmode: str = "causal"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -303,7 +329,7 @@ class MidBlock3D(nn.Module):
         c = x.shape[-1]
         x, new_cache["res0"] = ResidualBlock3D(
             c, self.norm_num_groups, self.norm_eps, self.spatial_norm,
-            dtype=self.dtype, name="res0",
+            tmode=self.tmode, dtype=self.dtype, name="res0",
         )(x, _sub(cache, "res0"))
         for i in range(1, self.num_layers):
             if self.attention_type == "spatial_temporal":
@@ -323,6 +349,6 @@ class MidBlock3D(nn.Module):
             name = f"res{i}"
             x, new_cache[name] = ResidualBlock3D(
                 c, self.norm_num_groups, self.norm_eps, self.spatial_norm,
-                dtype=self.dtype, name=name,
+                tmode=self.tmode, dtype=self.dtype, name=name,
             )(x, _sub(cache, name))
         return x, new_cache

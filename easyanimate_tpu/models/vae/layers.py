@@ -38,6 +38,11 @@ class CausalConv3d(nn.Module):
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
     spatial_padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+    # "causal": replicate-pad front / cached continuation (magvit flags
+    # 0/3-6). "sym": zero-pad both sides, no cache — the slice/compression
+    # VAEs' per-chunk behaviour (reference flags 1/2 fall through to the
+    # symmetric-pad branch, common.py:173-179).
+    temporal_mode: str = "causal"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -46,14 +51,20 @@ class CausalConv3d(nn.Module):
         t_stride = self.stride[0]
         t_pad = t_ks - 1
 
-        if cache is None:
+        if self.temporal_mode == "sym":
+            sym = -(-((t_ks - 1) + (1 - t_stride)) // 2)  # ceil, torch parity
+            if sym:
+                x = jnp.pad(x, ((0, 0), (sym, sym), (0, 0), (0, 0), (0, 0)))
+            new_cache = None
+        elif cache is None:
             if t_pad:
                 front = jnp.repeat(x[:, :1], t_pad, axis=1)
                 x = jnp.concatenate([front, x], axis=1)
+            new_cache = x[:, -t_pad:] if t_pad else None
         else:
             carry = cache[:, -(t_pad - 1):] if t_stride == 2 else cache
             x = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
-        new_cache = x[:, -t_pad:] if t_pad else None
+            new_cache = x[:, -t_pad:] if t_pad else None
 
         if self.spatial_padding is not None:
             (pt, pb), (pl_, pr) = self.spatial_padding

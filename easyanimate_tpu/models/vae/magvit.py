@@ -85,6 +85,27 @@ class MagvitVAEConfig:
         )
 
     @property
+    def encoder_tmode(self) -> str:
+        # slice/cache_compression encode chunks with symmetric (non-causal)
+        # temporal padding — reference flags 1/2 (omnigen_enc_dec.py:296-327,
+        # common.py:173-179); magvit modes stay causal
+        return ("sym" if self.chunk_mode in ("slice_compression",
+                                             "cache_compression")
+                else "causal")
+
+    @property
+    def up_rule(self) -> str:
+        return {"cache_compression": "always",
+                "slice_compression": "chunk"}.get(self.chunk_mode, "magvit")
+
+    @property
+    def decoder_tmode(self) -> str:
+        # cache_compression DECODES with the cached causal protocol
+        # (flags 5/6, omnigen_enc_dec.py:630-647); slice_compression decodes
+        # non-causally with neighbour-context chunks (:648-667)
+        return "sym" if self.chunk_mode == "slice_compression" else "causal"
+
+    @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
 
@@ -97,9 +118,10 @@ class Encoder(nn.Module):
         cfg = self.cfg
         dt = cfg.jdtype
         new_cache = {}
+        tm = cfg.encoder_tmode
         x, new_cache["conv_in"] = CausalConv3d(
-            cfg.block_out_channels[0], dtype=dt, name="conv_in"
-        )(x, _sub(cache, "conv_in"))
+            cfg.block_out_channels[0], temporal_mode=tm, dtype=dt,
+            name="conv_in")(x, _sub(cache, "conv_in"))
         for i, block_type in enumerate(cfg.down_block_types):
             is_final = i == len(cfg.block_out_channels) - 1
             name = f"down{i}"
@@ -111,6 +133,7 @@ class Encoder(nn.Module):
                 spatial_norm=cfg.spatial_group_norm,
                 add_gc_block=bool(cfg.use_gc_blocks[i]
                                   if cfg.use_gc_blocks else False),
+                tmode=tm,
                 dtype=dt,
                 name=name,
             )(x, _sub(cache, name))
@@ -120,6 +143,7 @@ class Encoder(nn.Module):
                             if cfg.mid_block_use_attention else "none"),
             norm_num_groups=cfg.norm_num_groups,
             spatial_norm=cfg.spatial_group_norm,
+            tmode=tm,
             dtype=dt,
             name="mid",
         )(x, _sub(cache, "mid"))
@@ -127,8 +151,8 @@ class Encoder(nn.Module):
                       name="conv_norm_out")(x)
         x = nn.silu(x)
         x, new_cache["conv_out"] = CausalConv3d(
-            2 * cfg.latent_channels, dtype=dt, name="conv_out"
-        )(x, _sub(cache, "conv_out"))
+            2 * cfg.latent_channels, temporal_mode=tm, dtype=dt,
+            name="conv_out")(x, _sub(cache, "conv_out"))
         return x, new_cache
 
 
@@ -136,13 +160,23 @@ class Decoder(nn.Module):
     cfg: MagvitVAEConfig
 
     @nn.compact
-    def __call__(self, z, cache=None):
+    def __call__(self, z, cache=None, prev=None, after=None):
+        """prev/after: neighbouring latent chunks for slice_compression
+        context decoding (omnigen_enc_dec.py:555-575): they widen the
+        temporal window through conv_in + mid, then the middle is cropped
+        before the up blocks."""
         cfg = self.cfg
         dt = cfg.jdtype
         new_cache = {}
+        tm = cfg.decoder_tmode
         rev = list(reversed(cfg.block_out_channels))
+        t_prev = 0 if prev is None else prev.shape[1]
+        t_mid = z.shape[1]
+        if prev is not None or after is not None:
+            parts = [p for p in (prev, z, after) if p is not None]
+            z = jnp.concatenate(parts, axis=1)
         z, new_cache["conv_in"] = CausalConv3d(
-            rev[0], dtype=dt, name="conv_in"
+            rev[0], temporal_mode=tm, dtype=dt, name="conv_in"
         )(z, _sub(cache, "conv_in"))
         z, new_cache["mid"] = MidBlock3D(
             num_layers=cfg.layers_per_block,
@@ -150,9 +184,12 @@ class Decoder(nn.Module):
                             if cfg.mid_block_use_attention else "none"),
             norm_num_groups=cfg.norm_num_groups,
             spatial_norm=cfg.spatial_group_norm,
+            tmode=tm,
             dtype=dt,
             name="mid",
         )(z, _sub(cache, "mid"))
+        if prev is not None or after is not None:
+            z = z[:, t_prev:t_prev + t_mid]
         for i, block_type in enumerate(cfg.up_block_types):
             is_final = i == len(cfg.block_out_channels) - 1
             name = f"up{i}"
@@ -164,6 +201,8 @@ class Decoder(nn.Module):
                 spatial_norm=cfg.spatial_group_norm,
                 add_gc_block=bool(cfg.use_gc_blocks[-(i + 1)]
                                   if cfg.use_gc_blocks else False),
+                tmode=tm,
+                up_rule=cfg.up_rule,
                 dtype=dt,
                 name=name,
             )(z, _sub(cache, name))
@@ -171,7 +210,7 @@ class Decoder(nn.Module):
                       name="conv_norm_out")(z)
         z = nn.silu(z)
         z, new_cache["conv_out"] = CausalConv3d(
-            cfg.out_channels, dtype=dt, name="conv_out"
+            cfg.out_channels, temporal_mode=tm, dtype=dt, name="conv_out"
         )(z, _sub(cache, "conv_out"))
         return z, new_cache
 
@@ -192,9 +231,13 @@ class AutoencoderKLMagvit(nn.Module):
         h, cache = self.encoder(x, cache)
         return self.quant_conv(h), cache
 
-    def decode_chunk(self, z, cache=None):
+    def decode_chunk(self, z, cache=None, prev=None, after=None):
         z = self.post_quant_conv(z)
-        return self.decoder(z, cache)
+        if prev is not None:
+            prev = self.post_quant_conv(prev)
+        if after is not None:
+            after = self.post_quant_conv(after)
+        return self.decoder(z, cache, prev=prev, after=after)
 
     def __call__(self, x):
         """Single-shot encode->sample-mode->decode (init/training path)."""
@@ -251,6 +294,88 @@ def _slice_apply(apply_fn, x, chunk: int):
     return jnp.concatenate(outs, axis=1)
 
 
+def _compression_encode(apply_fn, x, chunk: int):
+    """slice/cache_compression encode (omnigen_enc_dec.py:296-327): a lone
+    first frame when f is odd, then independent non-causal chunks (the
+    encoder convs run in 'sym' mode, so caches are inert)."""
+    b, t = x.shape[0], x.shape[1]
+    outs = []
+    start = 0
+    if t % 2 != 0:
+        y0, _ = apply_fn(x[:, :1], None)
+        outs.append(y0)
+        start = 1
+    rest = x[:, start:]
+    n = rest.shape[1] // chunk
+    if n > 0:
+        chunks = jnp.moveaxis(
+            rest[:, : n * chunk].reshape(b, n, chunk, *rest.shape[2:]), 1, 0)
+
+        def step(c, xc):
+            y, _ = apply_fn(xc, None)
+            return c, y
+
+        _, ys = jax.lax.scan(step, jnp.zeros(()), chunks)
+        ys = jnp.moveaxis(ys, 0, 1)
+        outs.append(ys.reshape(b, -1, *ys.shape[3:]))
+    tail = rest.shape[1] - n * chunk
+    if tail:
+        y, _ = apply_fn(rest[:, n * chunk:], None)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _cached_uniform_decode(apply_fn, z, chunk: int):
+    """cache_compression decode (omnigen_enc_dec.py:630-647): the first
+    `chunk` latents replicate-padded (flag 5), later chunks prepend the conv
+    cache (flag 6)."""
+    b, t = z.shape[0], z.shape[1]
+    if t <= chunk:
+        return apply_fn(z, None)[0]
+    y0, cache = apply_fn(z[:, :chunk], None)
+    outs = [y0]
+    rest = z[:, chunk:]
+    n = rest.shape[1] // chunk
+    if n > 0:
+        chunks = jnp.moveaxis(
+            rest[:, : n * chunk].reshape(b, n, chunk, *rest.shape[2:]), 1, 0)
+
+        def step(c, zc):
+            y, c = apply_fn(zc, c)
+            return c, y
+
+        cache, ys = jax.lax.scan(step, cache, chunks)
+        ys = jnp.moveaxis(ys, 0, 1)
+        outs.append(ys.reshape(b, -1, *ys.shape[3:]))
+    tail = rest.shape[1] - n * chunk
+    if tail:
+        y, _ = apply_fn(rest[:, n * chunk:], cache)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _context_slice_decode(decode_ctx_fn, z, chunk: int):
+    """slice_compression decode (omnigen_enc_dec.py:648-667): each chunk is
+    decoded with the raw neighbouring latent chunks as temporal context;
+    lone first frame when f is odd."""
+    t = z.shape[1]
+    outs = []
+    start = 0
+    if t % 2 != 0:
+        outs.append(decode_ctx_fn(z[:, :1], None, None))
+        start = 1
+    prev = None
+    i = start
+    while i < t:
+        cur = z[:, i: i + chunk]
+        after = (z[:, i + chunk: i + 2 * chunk]
+                 if i + chunk < t else None)
+        outs.append(decode_ctx_fn(cur, prev, after))
+        prev = cur
+        i += chunk
+    return jnp.concatenate(outs, axis=1)
+
+
 def vae_encode(vae: AutoencoderKLMagvit, params, video: jnp.ndarray,
                channels_first: bool = True) -> jnp.ndarray:
     """video -> latent distribution moments (mean, logvar concat on C).
@@ -270,6 +395,9 @@ def vae_encode(vae: AutoencoderKLMagvit, params, video: jnp.ndarray,
         from .cogvideox import chunked_apply_cog
 
         moments = chunked_apply_cog(apply_fn, video, cfg.mini_batch_encoder)
+    elif cfg.chunk_mode in ("slice_compression", "cache_compression"):
+        moments = _compression_encode(apply_fn, video,
+                                      cfg.mini_batch_encoder)
     else:
         moments, _ = apply_fn(video, None)
     if channels_first:
@@ -292,6 +420,14 @@ def vae_decode(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
         from .cogvideox import chunked_apply_cog
 
         video = chunked_apply_cog(apply_fn, latents, cfg.mini_batch_decoder)
+    elif cfg.chunk_mode == "cache_compression":
+        video = _cached_uniform_decode(apply_fn, latents,
+                                       cfg.mini_batch_decoder)
+    elif cfg.chunk_mode == "slice_compression":
+        ctx_fn = lambda z, p, a: vae.apply(
+            params, z, None, prev=p, after=a, method=vae.decode_chunk)[0]
+        video = _context_slice_decode(ctx_fn, latents,
+                                      cfg.mini_batch_decoder)
     else:
         video, _ = apply_fn(latents, None)
     if channels_first:
@@ -372,8 +508,11 @@ def vae_decode_tiled(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
     tile_out_px = cfg.tile_sample_min_size
     tile_in = tile_out_px // cfg.spatial_compression
     apply_fn = lambda z, c: vae.apply(params, z, c, method=vae.decode_chunk)
+    ctx_fn = lambda z, p, a: vae.apply(
+        params, z, None, prev=p, after=a, method=vae.decode_chunk)[0]
     run = lambda tile: _run_chunk_mode(apply_fn, tile, cfg,
-                                       cfg.mini_batch_decoder)
+                                       cfg.mini_batch_decoder,
+                                       decoding=True, ctx_fn=ctx_fn)
     dec = _tiled(run, latents, tile_in, tile_out_px, cfg.tile_overlap_factor)
 
     # lower-right corner: re-decode a corner-aligned tile, min(x,y) ramp blend
@@ -389,7 +528,7 @@ def vae_decode_tiled(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
     return dec
 
 
-def _run_chunk_mode(apply_fn, x, cfg, chunk):
+def _run_chunk_mode(apply_fn, x, cfg, chunk, decoding=False, ctx_fn=None):
     if cfg.chunk_mode == "cache_mag":
         return _chunked_apply(apply_fn, x, chunk)
     if cfg.chunk_mode == "slice_mag":
@@ -398,6 +537,14 @@ def _run_chunk_mode(apply_fn, x, cfg, chunk):
         from .cogvideox import chunked_apply_cog
 
         return chunked_apply_cog(apply_fn, x, chunk)
+    if cfg.chunk_mode == "cache_compression":
+        if decoding:
+            return _cached_uniform_decode(apply_fn, x, chunk)
+        return _compression_encode(apply_fn, x, chunk)
+    if cfg.chunk_mode == "slice_compression":
+        if decoding:
+            return _context_slice_decode(ctx_fn, x, chunk)
+        return _compression_encode(apply_fn, x, chunk)
     return apply_fn(x, None)[0]
 
 
@@ -452,4 +599,11 @@ def latent_frame_count(pixel_frames: int, cfg: MagvitVAEConfig) -> int:
     (pipeline_easyanimate.py:677-688)."""
     if cfg.chunk_mode == "cache_mag":
         return (pixel_frames - 1) // cfg.mini_batch_encoder * cfg.mini_batch_decoder + 1
+    if cfg.chunk_mode in ("slice_compression", "cache_compression"):
+        # lone first frame when odd, then non-causal chunks of mbe frames,
+        # each compressed by the network's temporal factor
+        per_chunk = cfg.mini_batch_encoder // cfg.temporal_compression
+        if pixel_frames % 2 != 0:
+            return (pixel_frames - 1) // cfg.mini_batch_encoder * per_chunk + 1
+        return pixel_frames // cfg.mini_batch_encoder * per_chunk
     return pixel_frames // cfg.temporal_compression

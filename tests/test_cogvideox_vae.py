@@ -159,7 +159,7 @@ def test_cog_tiled_decode(vae_and_params, rng):
     from easyanimate_tpu.models.vae import vae_decode_tiled
 
     vae, params = vae_and_params
-    cfg = dataclasses.replace(TINY, tile_sample_min_size=16,
+    cfg = dataclasses.replace(TINY, tile_sample_min_size=32,
                               tile_overlap_factor=0.25)
     from easyanimate_tpu.models.vae import AutoencoderKLCogVideoX
 

@@ -202,3 +202,42 @@ def test_gc_block_gates_and_preserves_shape(rng):
     assert any("up1/gc_block" in k for k in flat)   # mirrored order
     out = vae.apply(vp, vid)
     assert np.isfinite(np.asarray(out)).all()
+
+def test_compression_chunk_modes(rng):
+    """V3/V4 slicevae protocols (omnigen_enc_dec.py:296-327 encode,
+    :630-667 decode): non-causal chunk encode, cached-uniform decode
+    (cache_compression) and neighbour-context decode (slice_compression)."""
+    import dataclasses as dc
+
+    from easyanimate_tpu.models.vae import latent_frame_count, vae_decode, vae_encode
+
+    for mode in ("cache_compression", "slice_compression"):
+        cfg = dc.replace(TINY, chunk_mode=mode, mini_batch_encoder=4,
+                         mini_batch_decoder=1)
+        vae = AutoencoderKLMagvit(cfg)
+        vp = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 16, 16, 3)))
+        x = jnp.asarray(rng.standard_normal((1, 9, 16, 16, 3))
+                        .astype(np.float32))
+        mom = vae_encode(vae, vp, x, channels_first=False)
+        # 9 frames odd: 1 + 2 chunks of 4 -> 1 + 2*1 = 3 latents (tc=2 on
+        # TINY halves each 4-frame chunk twice? TINY temporal compression)
+        assert mom.shape[1] == latent_frame_count(9, cfg)
+        vid = vae_decode(vae, vp, mom[..., :cfg.latent_channels],
+                         channels_first=False)
+        assert np.isfinite(np.asarray(vid)).all()
+        assert vid.shape[2:] == (16, 16, 3)
+
+    # slice_compression context decode really uses the neighbours: output of
+    # a middle chunk changes when the next chunk changes
+    cfg = dc.replace(TINY, chunk_mode="slice_compression",
+                     mini_batch_encoder=4, mini_batch_decoder=2)
+    vae = AutoencoderKLMagvit(cfg)
+    vp = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 16, 16, 3)))
+    z = jnp.asarray(rng.standard_normal((1, 6, 8, 8, 4)).astype(np.float32))
+    v1 = vae_decode(vae, vp, z, channels_first=False)
+    z2 = z.at[:, 4:].add(3.0)   # perturb only the LAST chunk
+    v2 = vae_decode(vae, vp, z2, channels_first=False)
+    t_first_chunk = v1.shape[1] // 3
+    mid = np.asarray(v1)[:, t_first_chunk: 2 * t_first_chunk]
+    mid2 = np.asarray(v2)[:, t_first_chunk: 2 * t_first_chunk]
+    assert not np.allclose(mid, mid2)   # context flows across chunks
