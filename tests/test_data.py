@@ -202,3 +202,21 @@ def test_dataloader_and_device_prefetch():
 
     assert isinstance(out[0]["x"], jax.Array)
     np.testing.assert_allclose(np.asarray(out[2]["x"])[1], 5.0)
+
+def test_bsrgan_variant_degradations(rng):
+    from easyanimate_tpu.data.degradation import (
+        anisotropic_gaussian_kernel,
+        degradation_bsrgan_variant,
+    )
+
+    k = anisotropic_gaussian_kernel(9, 0.7, 2.0, 0.5)
+    assert k.shape == (9, 9)
+    np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-5)
+    # anisotropy: rotated kernel differs from its transpose
+    assert not np.allclose(k, k.T)
+
+    img = rng.random((32, 40, 3)).astype(np.float32)
+    out = degradation_bsrgan_variant(img, np.random.default_rng(3))
+    assert out.shape == img.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert not np.allclose(out, img)   # something actually degraded
