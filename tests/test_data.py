@@ -220,3 +220,26 @@ def test_bsrgan_variant_degradations(rng):
     assert out.shape == img.shape
     assert out.min() >= 0.0 and out.max() <= 1.0
     assert not np.allclose(out, img)   # something actually degraded
+
+def test_reference_format_yaml_configs_build():
+    """All shipped config yamls (mirroring the reference's four editions)
+    build transformers through the registry + flag mapping."""
+    import glob
+    import os
+
+    from easyanimate_tpu.utils.config import (
+        build_transformer,
+        load_yaml_config,
+        name_to_transformer3d,
+    )
+
+    base = os.path.join(os.path.dirname(__file__), "..", "config")
+    paths = sorted(glob.glob(os.path.join(base, "*.yaml")))
+    assert len(paths) >= 4
+    for p in paths:
+        cfg = load_yaml_config(p)
+        kw = cfg["transformer_additional_kwargs"]
+        assert kw["transformer_type"] in name_to_transformer3d
+        module, mcfg = build_transformer(
+            cfg, num_layers=2, num_attention_heads=2, attention_head_dim=16)
+        assert module is not None, p
