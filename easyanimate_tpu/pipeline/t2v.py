@@ -231,7 +231,9 @@ class EasyAnimatePipeline:
             acc_out = jnp.where(should, 0.0, acc_new)
 
             def calc(_):
+                p_ = self.mmdit_cfg.patch_size
                 out = model.apply(params, vid0, txt_tok, temb, rope,
+                                  grid_size=(t_, hh // p_, ww // p_),
                                   method="backbone")
                 return out, out - vid0
 
