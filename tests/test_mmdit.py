@@ -165,3 +165,26 @@ def test_model_inpaint_channel_concat(rng):
                         inpaint_latents=inp)
     out = model.apply(params, lat, ts, txt, None, inpaint_latents=inp)
     assert out.shape == (b, cfg.out_channels, t, h, w)
+
+def test_v5_dual_text_with_norm(rng):
+    """V5 path: Bert + mT5 dual text streams with RMSNorm projections
+    (transformer3d.py:1405-1418, add_norm_text_encoder)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(PRESETS["tiny"], out_channels=4,
+                     text_embed_dim=24, text_embed_dim_t5=36,
+                     add_norm_text_encoder=True)
+    model = EasyAnimateTransformer3D(cfg)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32))
+    bert = jnp.asarray(rng.standard_normal((1, 6, 24)).astype(np.float32))
+    t5 = jnp.asarray(rng.standard_normal((1, 5, 36)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), bert,
+                        None, encoder_hidden_states_t5=t5)
+    out = model.apply(params, lat, jnp.array([1.0]), bert, None,
+                      encoder_hidden_states_t5=t5)
+    assert out.shape == (1, 4, 2, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"], sep="/")
+    assert any("text_proj_t5" in k for k in flat)
