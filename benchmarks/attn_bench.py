@@ -1,0 +1,73 @@
+"""Microbenchmark for the Pallas flash-attention kernel at the flagship
+model's exact shapes (V5.1-12B, T2V 384x672x49f CFG: bh=96, seq=13360, d=64).
+
+Usage:
+  python benchmarks/attn_bench.py                 # default sweep
+  python benchmarks/attn_bench.py --blocks 1024,2048,256 --iters 10
+
+Prints TF/s based on *useful* flops (4 * bh * valid^2 * d), so padding waste
+shows up as lower TF/s.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def run_case(bh, sq, d, block_q, block_kv, inner, iters=8, valid=None):
+    from easyanimate_tpu.ops.attention import attention
+
+    valid = valid or sq
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, bh, sq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, bh, sq, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, bh, sq, d), jnp.bfloat16)
+
+    fn = jax.jit(lambda q, k, v: attention(
+        q, k, v, impl="pallas", block_q=block_q, block_kv=block_kv,
+        block_kv_inner=inner))
+    # the tunneled runtime doesn't sync on block_until_ready (fetch a scalar
+    # instead) and is slow for the first ~8 executions of a fresh program
+    for _ in range(8):
+        out = fn(q, k, v)
+    float(out[0, 0, 0, 0])
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(q, k, v)
+    float(out[0, 0, 0, 0])
+    dt = (time.time() - t0) / iters
+    flops = 4 * bh * valid * valid * d
+    return dt, flops / dt / 1e12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bh", type=int, default=96)      # CFG batch 2 x 48 heads
+    ap.add_argument("--seq", type=int, default=13360)  # 13104 video + 256 text
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--sweep", type=str, default=(
+        "1024,2048,256;1024,1024,256;512,1024,256;1024,2048,512;"
+        "512,512,256;1024,2048,128;2048,2048,256"))
+    args = ap.parse_args()
+
+    print(f"# backend={jax.default_backend()} bh={args.bh} seq={args.seq} "
+          f"d={args.d}")
+    for case in args.sweep.split(";"):
+        bq, bkv, inner = (int(x) for x in case.split(","))
+        try:
+            dt, tfs = run_case(args.bh, args.seq, args.d, bq, bkv, inner,
+                               args.iters)
+            print(f"bq={bq:5d} bkv={bkv:5d} inner={inner:4d}  "
+                  f"{dt*1e3:8.2f} ms  {tfs:6.2f} TF/s", flush=True)
+        except Exception as e:  # noqa: BLE001 - sweep survives bad configs
+            print(f"bq={bq:5d} bkv={bkv:5d} inner={inner:4d}  FAILED: "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,14 +11,16 @@ Parity targets:
                                RoPE on the video slice, one fused attention,
                                per-stream output projections)
 """
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.attention import attention as attention_op
+import numpy as np
+
+from ..ops.attention import dispatch_attention
 from ..ops.norms import fp32_layer_norm
-from ..ops.rope import apply_rotary_emb
+from ..ops.rope import apply_rotary_emb_split, deinterleave_perm
 from ..ops.swa import swa_joint_attention
 
 
@@ -47,8 +49,38 @@ class LayerNormZero(nn.Module):
         return vid, txt, gate[:, None], e_gate[:, None]
 
 
+class PermutedDense(nn.Module):
+    """nn.Dense with a static output-column permutation folded into the
+    kernel/bias at apply time. Parameter names/shapes are identical to
+    nn.Dense, so checkpoints stay in the reference feature order; the
+    permuted weight is a tiny gather consumed by the matmul."""
+
+    features: int
+    perm: Any = None  # np.ndarray of output-feature indices
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        if self.perm is not None:
+            kernel = kernel[:, self.perm]
+            bias = bias[self.perm]
+        x = x.astype(self.dtype)
+        return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class StreamQKV(nn.Module):
-    """QKV projections + per-head LN qk-norm for one stream."""
+    """QKV projections + per-head LN qk-norm for one stream.
+
+    q/k features are de-interleaved (rope pair (2i, 2i+1) -> halves (i,
+    d/2+i)) THROUGH the projection weights: attention scores are invariant
+    to a fixed permutation of both q and k, and the half-split layout makes
+    RoPE a pair of contiguous 32-lane ops instead of a cross-lane shuffle
+    (2x faster on the VPU). v / outputs keep the reference order.
+    """
 
     num_heads: int
     head_dim: int
@@ -59,17 +91,20 @@ class StreamQKV(nn.Module):
     def __call__(self, x):
         b, s, _ = x.shape
         inner = self.num_heads * self.head_dim
+        perm64 = deinterleave_perm(self.head_dim)
+        perm = np.concatenate(
+            [h * self.head_dim + perm64 for h in range(self.num_heads)])
         heads = lambda a: a.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
-        q = heads(nn.Dense(inner, dtype=self.dtype, name="to_q")(x))
-        k = heads(nn.Dense(inner, dtype=self.dtype, name="to_k")(x))
+        q = heads(PermutedDense(inner, perm, dtype=self.dtype, name="to_q")(x))
+        k = heads(PermutedDense(inner, perm, dtype=self.dtype, name="to_k")(x))
         v = heads(nn.Dense(inner, dtype=self.dtype, name="to_v")(x))
         if self.qk_norm:
             qw = self.param("norm_q_scale", nn.initializers.ones, (self.head_dim,), jnp.float32)
             qb = self.param("norm_q_bias", nn.initializers.zeros, (self.head_dim,), jnp.float32)
             kw = self.param("norm_k_scale", nn.initializers.ones, (self.head_dim,), jnp.float32)
             kb = self.param("norm_k_bias", nn.initializers.zeros, (self.head_dim,), jnp.float32)
-            q = fp32_layer_norm(q, qw, qb, 1e-6)
-            k = fp32_layer_norm(k, kw, kb, 1e-6)
+            q = fp32_layer_norm(q, qw[perm64], qb[perm64], 1e-6)
+            k = fp32_layer_norm(k, kw[perm64], kb[perm64], 1e-6)
         return q, k, v
 
 
@@ -109,8 +144,14 @@ class MMDiTBlock(nn.Module):
     @nn.compact
     def __call__(self, vid, txt, temb, rope: Optional[Tuple] = None,
                  grid_size: Optional[Tuple[int, int, int]] = None):
+        from ..parallel.context import sp_constraint
+
         b, sv, _ = vid.shape
         st = txt.shape[1]
+        # under an active sequence_parallel scope, keep the video token axis
+        # sharded over 'sp' between blocks (text is small; replicated)
+        vid = sp_constraint(vid, ("dp", "sp", None))
+        txt = sp_constraint(txt, ("dp", None, None))
 
         n_vid, n_txt, gate, e_gate = LayerNormZero(
             self.dim, self.norm_eps, dtype=self.dtype, name="norm1"
@@ -132,8 +173,10 @@ class MMDiTBlock(nn.Module):
 
         if rope is not None:
             cos, sin = rope
-            qv = apply_rotary_emb(qv, cos, sin)
-            kv = apply_rotary_emb(kv, cos, sin)
+            # q/k are in de-interleaved order (StreamQKV), so rope runs in
+            # the half-split form on the pair tables (interleaved [:, ::2])
+            qv = apply_rotary_emb_split(qv, cos[:, ::2], sin[:, ::2])
+            kv = apply_rotary_emb_split(kv, cos[:, ::2], sin[:, ::2])
 
         q = jnp.concatenate([qt, qv], axis=2)
         k = jnp.concatenate([kt, kv], axis=2)
@@ -143,7 +186,7 @@ class MMDiTBlock(nn.Module):
             o = swa_joint_attention(q, k, v, text_len=st, num_frames=gf,
                                     height=gh, width=gw, impl=self.attn_impl)
         else:
-            o = attention_op(q, k, v, impl=self.attn_impl)
+            o = dispatch_attention(q, k, v, impl=self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, st + sv, self.num_heads * self.head_dim)
         o_txt, o_vid = o[:, :st], o[:, st:]
 

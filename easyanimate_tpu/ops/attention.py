@@ -99,6 +99,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def dispatch_attention(q, k, v, *, impl: str = "auto"):
+    """Attention entry point for model code: plain single-device attention,
+    or -- when a `parallel.context.sequence_parallel(mesh)` scope is active
+    with sp > 1 -- shard_map'd sequence-parallel attention (seq sharded over
+    'sp', heads over 'tp', batch over 'dp'; kv all-gathered or ring-rotated
+    per the scope's mode). [B, H, S, D]."""
+    from ..parallel.context import current_sp, make_sp_attention
+
+    scope = current_sp()
+    if scope is None:
+        return attention(q, k, v, impl=impl)
+    return make_sp_attention(scope.mesh, mode=scope.mode, impl=impl,
+                             shape=q.shape)(q, k, v)
+
+
 def joint_attention(
     q_txt: jnp.ndarray,
     k_txt: jnp.ndarray,

@@ -11,17 +11,29 @@ Design notes (TPU):
   - online softmax, fp32 statistics, bf16 matmul inputs.
   - grid (batch*heads, q_blocks, kv_blocks); kv is the innermost (sequential)
     dimension so the VMEM accumulator carries across kv tiles.
-  - softmax stats live in (block_q, 128) lane-replicated VMEM scratch
-    (TPU min-tile layout); the logsumexp residual is stored compactly as
-    [bh, seq, 1] to avoid a 128x blow-up at 50k-token sequences.
-  - tail padding is handled with a *static* `kv_valid` length: sequences are
-    padded to a block multiple at trace time, so the mask is baked into the
-    kernel (no scalar plumbing). Query-side padding needs no mask: its
-    cotangents are zero when callers slice outputs (see backward note).
-  - backward = two kernels (dq; dkv) recomputing p from the saved
-    logsumexp, as in standard flash attention v2.
+  - the kernel works in BASE-2: the wrapper folds sm_scale*log2(e) into q, so
+    the softmax is exp2(s2 - m2) -- one VPU transcendental per score element
+    with no extra multiply (exp(x) lowers to exp2(x*log2e) anyway). The saved
+    logsumexp residual is base-2: lse2 = m2 + log2(l).
+  - softmax stats (m, l) live in lane-replicated (block_q, 128) VMEM scratch:
+    full-tile stat ops are faster on Mosaic than [:, :1] sub-tile access
+    (measured 2x). The lse residual is stored compactly as [bh, seq, 1] to
+    avoid a 128x blow-up at 50k-token sequences.
+  - tail padding costs ZERO per-element work: sequences are zero-padded to a
+    block multiple, so padded kv columns score s2=0 and contribute nothing to
+    the output (v_pad=0) -- only the softmax denominator picks up exactly
+    n_pad * 2^(-m) of spurious mass, which the store step subtracts in closed
+    form. This replaces the usual iota+compare+select mask chain (3 VPU
+    ops/element) entirely. Requires k/v tails to be zero (the wrapper pads
+    with zeros); q-side padding needs no handling (padded rows are sliced
+    away, and their cotangents are structurally zero in the backward).
+  - backward = two kernels (dq; dkv) recomputing p from the saved base-2
+    logsumexp, as in standard flash attention v2; the pad columns' ds@k
+    contribution vanishes because k_pad=0, and pad-row dk/dv garbage is
+    dropped by the pad's cotangent slice.
 """
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -31,6 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 MIN_LANES = 128
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 
 def _cdiv(a, b):
@@ -58,8 +72,7 @@ def _lane_broadcast(stat, width):
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, sm_scale: float, kv_valid: int, block_kv: int, num_kv: int,
-    block_kv_inner: int
+    *, n_pad: int, block_kv: int, num_kv: int, block_kv_inner: int
 ):
     j = pl.program_id(2)
 
@@ -69,7 +82,7 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # [block_q, d]; sm_scale pre-folded into q by the wrapper
+    q = q_ref[0]  # [block_q, d]; sm_scale*log2e pre-folded into q
     d = acc_scr.shape[-1]
 
     # two-level tiling: the grid loads block_kv (HBM granularity), the
@@ -79,20 +92,18 @@ def _fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        # zero-padded kv tails need no masking here: s2=0 there, and the
+        # store step removes their exactly-known softmax mass
 
-        if num_kv * block_kv > kv_valid:  # static: some tail has padding
-            # unconditional select: measured faster than lax.cond branching,
-            # which defeats Mosaic's pipeline
-            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                   + j * block_kv + start)
-            s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
-
-        m_prev = m_scr[:]                                  # [block_q, 128]
+        # stats carried lane-replicated at (block_q, 128): full-tile VMEM
+        # ops are faster on Mosaic than [:, :1] sub-tile reads/writes
+        # (measured: narrow stats halve throughput)
+        m_prev = m_scr[:]                                    # [block_q, 128]
         l_prev = l_scr[:]
-        m_curr = jnp.max(s, axis=1)[:, None]               # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)               # [block_q, 128]
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
+        m_curr = jnp.max(s, axis=1)[:, None]                 # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - _lane_broadcast(m_next, s.shape[1]))
         l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[:] = m_next
         l_scr[:] = l_next
@@ -104,14 +115,17 @@ def _fwd_kernel(
 
     @pl.when(j == num_kv - 1)
     def _store():
+        m = m_scr[:]
         l = l_scr[:]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        if n_pad:  # static: remove the zero-pad columns' softmax mass
+            l = l - n_pad * jnp.exp2(-m)
+        l_inv = jnp.where(l <= 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[:] * _lane_broadcast(l_inv, d)).astype(o_ref.dtype)
-        lse = m_scr[:] + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0] = lse[:, :1]  # [block_q, 1]
+        lse2 = m + jnp.log2(jnp.maximum(l, 1e-30))
+        lse_ref[0] = lse2[:, :1]  # [block_q, 1], base-2
 
 
-def _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret,
+def _flash_fwd(q, k, v, kv_valid, block_q, block_kv, interpret,
                block_kv_inner=None):
     bh, sq, d = q.shape
     skv = k.shape[1]
@@ -121,7 +135,7 @@ def _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret,
         block_kv_inner = block_kv
 
     kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, kv_valid=kv_valid,
+        _fwd_kernel, n_pad=skv - kv_valid,
         block_kv=block_kv, num_kv=nkv, block_kv_inner=block_kv_inner,
     )
     out_shape = (
@@ -159,23 +173,21 @@ def _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret,
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p(q, k, lse, sm_scale, kv_block_idx, kv_valid, block_kv,
-                 need_mask):
+def _recompute_p(q, k, lse2):
     """Recompute attention probabilities for one (q, kv) tile pair.
-    q arrives pre-scaled by sm_scale (wrapper folds it in)."""
+    q arrives pre-scaled by sm_scale*log2e; lse2 is the base-2 logsumexp.
+    Zero-padded kv columns yield p=2^-lse2 (not 0), which is harmless: their
+    output/dq contributions multiply k_pad=v_pad=0, and pad-row dk/dv are
+    dropped by the wrapper's pad-slice cotangent."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if need_mask:  # static: some tail tile has padding
-        col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-               + kv_block_idx * block_kv)
-        s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
-    return jnp.exp(s - _lane_broadcast(lse, s.shape[1])), s
+    return jnp.exp2(s - lse2)
 
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
-    *, sm_scale: float, kv_valid: int, block_kv: int, num_kv: int
+    *, num_kv: int
 ):
     j = pl.program_id(2)
 
@@ -187,15 +199,15 @@ def _bwd_dq_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]  # [block_q, 1]
-    di = di_ref[0]    # [block_q, 1]
+    lse2 = lse_ref[0]  # [block_q, 1]
+    di = di_ref[0]     # [block_q, 1]
 
-    p, _ = _recompute_p(q, k, lse, sm_scale, j, kv_valid, block_kv,
-                        num_kv * block_kv > kv_valid)
+    p = _recompute_p(q, k, lse2)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - _lane_broadcast(di, p.shape[1])) * sm_scale
+    # d/ds2 of exp2: ln2 * p  (s2 is the base-2-domain score)
+    ds = p * (dp - di) * LN2
     dq_scr[:] += jax.lax.dot(
         ds.astype(k.dtype), k, preferred_element_type=jnp.float32
     )
@@ -208,10 +220,9 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, sm_scale: float, kv_valid: int, block_kv: int, num_q: int
+    *, num_q: int
 ):
     i = pl.program_id(2)  # q block (innermost)
-    j = pl.program_id(1)  # kv block
 
     @pl.when(i == 0)
     def _init():
@@ -222,11 +233,10 @@ def _bwd_dkv_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]
+    lse2 = lse_ref[0]
     di = di_ref[0]
 
-    need_mask = pl.num_programs(1) * block_kv > kv_valid
-    p, _ = _recompute_p(q, k, lse, sm_scale, j, kv_valid, block_kv, need_mask)
+    p = _recompute_p(q, k, lse2)
     # dv += p^T @ do
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -235,7 +245,7 @@ def _bwd_dkv_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - _lane_broadcast(di, p.shape[1])) * sm_scale
+    ds = p * (dp - di) * LN2
     # dk += ds^T @ q
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -248,8 +258,7 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv,
-               interpret):
+def _flash_bwd(q, k, v, o, lse, do, block_q, block_kv, interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
     # the backward kernels hold p/dp ([bq, bkv] fp32) plus accumulators in
@@ -263,10 +272,7 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv,
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
                  keepdims=True)  # [bh, sq, 1]
 
-    dq_kernel = functools.partial(
-        _bwd_dq_kernel, sm_scale=sm_scale, kv_valid=kv_valid,
-        block_kv=block_kv, num_kv=nkv,
-    )
+    dq_kernel = functools.partial(_bwd_dq_kernel, num_kv=nkv)
     dq = pl.pallas_call(
         dq_kernel,
         grid=(bh, nq, nkv),
@@ -287,10 +293,7 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv,
         interpret=interpret,
     )(q, k, v, do, lse, di)
 
-    dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, sm_scale=sm_scale, kv_valid=kv_valid,
-        block_kv=block_kv, num_q=nq,
-    )
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, num_q=nq)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(bh, nkv, nq),
@@ -327,26 +330,27 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash_attention(q, k, v, sm_scale, kv_valid, block_q, block_kv, interpret,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention(q, k, v, kv_valid, block_q, block_kv, interpret,
                      block_kv_inner=None):
-    o, _ = _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv,
+    o, _ = _flash_fwd(q, k, v, kv_valid, block_q, block_kv,
                       interpret, block_kv_inner)
     return o
 
 
-def _flash_attention_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv,
+def _flash_attention_fwd(q, k, v, kv_valid, block_q, block_kv,
                          interpret, block_kv_inner=None):
-    o, lse = _flash_fwd(q, k, v, sm_scale, kv_valid, block_q, block_kv,
+    o, lse = _flash_fwd(q, k, v, kv_valid, block_q, block_kv,
                         interpret, block_kv_inner)
     return o, (q, k, v, o, lse)
 
 
-def _flash_attention_bwd(sm_scale, kv_valid, block_q, block_kv, interpret,
+def _flash_attention_bwd(kv_valid, block_q, block_kv, interpret,
                          block_kv_inner, residuals, do):
+    del kv_valid
     q, k, v, o, lse = residuals
     dq, dk, dv = _flash_bwd(
-        q, k, v, o, lse, do, sm_scale, kv_valid, block_q, block_kv, interpret
+        q, k, v, o, lse, do, block_q, block_kv, interpret
     )
     return dq, dk, dv
 
@@ -373,7 +377,9 @@ def flash_attention(
         block size (see `attention` in ops/attention.py for the padding
         wrapper).
       sm_scale: defaults to head_dim ** -0.5.
-      kv_valid: static count of valid kv tokens (tail beyond it is masked).
+      kv_valid: static count of valid kv tokens. k and v MUST be zero beyond
+        kv_valid (zero padding); the kernel then needs no masking at all --
+        the pad columns' softmax mass is removed in closed form.
       block_q/block_kv: tile sizes (multiples of 128).
 
     Backward: query-side tail padding requires callers to not use padded
@@ -389,11 +395,11 @@ def flash_attention(
     block_q = min(block_q, sq)
     block_kv = min(block_kv, skv)
 
-    # fold sm_scale into q (exact for power-of-two head dims); kernels then
-    # skip a full VPU pass over every (block_q, block_kv) score tile
-    qf = (q * sm_scale).astype(q.dtype).reshape(b * h, sq, d)
+    # fold sm_scale AND log2(e) into q: the kernel softmax runs in base 2
+    # (exp2 only), skipping a full VPU multiply pass over every score tile
+    qf = (q * (sm_scale * LOG2E)).astype(q.dtype).reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
-    of = _flash_attention(qf, kf, vf, 1.0, kv_valid, block_q, block_kv,
+    of = _flash_attention(qf, kf, vf, kv_valid, block_q, block_kv,
                           interpret, block_kv_inner)
     return of.reshape(b, h, sq, d)

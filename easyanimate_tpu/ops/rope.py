@@ -103,6 +103,13 @@ def apply_rotary_emb(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.
     """Rotate interleaved pairs of the last axis of x.
 
     x: [..., S, D]; cos/sin: [S, D] (repeat-interleaved). fp32 math, cast back.
+
+    NOTE: interleaved pair access (minor dim 2) forces cross-lane shuffles on
+    the TPU VPU -- measured 2x slower than the half-split form below. The
+    MMDiT hot path therefore de-interleaves q/k through the *projection
+    weights* (see blocks.py PermutedDense) and uses apply_rotary_emb_split;
+    this interleaved form remains for paths that keep the reference feature
+    order (Hunyuan V4, generic callers).
     """
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
@@ -111,3 +118,29 @@ def apply_rotary_emb(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.
     rot = jnp.stack([-xr[..., 1], xr[..., 0]], axis=-1).reshape(x.shape)
     out = x32 * cos.astype(jnp.float32) + rot * sin.astype(jnp.float32)
     return out.astype(dtype)
+
+
+def deinterleave_perm(d: int) -> np.ndarray:
+    """Permutation mapping interleaved rope features to half-split layout:
+    [x0, x1, x2, x3, ...] -> [x0, x2, ..., x1, x3, ...]. Attention scores are
+    invariant under any fixed permutation applied to BOTH q and k, so this
+    can be folded into the q/k projection weights at zero runtime cost."""
+    return np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+
+
+def apply_rotary_emb_split(
+    x: jnp.ndarray, cos_half: jnp.ndarray, sin_half: jnp.ndarray
+) -> jnp.ndarray:
+    """Half-split rotation for de-interleaved features (TPU fast path).
+
+    x: [..., S, D] with features in deinterleave_perm order; cos_half /
+    sin_half: [S, D/2] (= interleaved tables sliced [:, ::2]). fp32 math.
+    Mathematically identical scores to apply_rotary_emb on interleaved x.
+    """
+    d = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., : d // 2], x32[..., d // 2:]
+    c = cos_half.astype(jnp.float32)
+    s = sin_half.astype(jnp.float32)
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s],
+                           axis=-1).astype(x.dtype)
