@@ -16,7 +16,10 @@ the video token axis over `sp` and run attention across shards, two ways:
 Both are meant to be called inside shard_map (or used through
 `make_sp_attention` which wraps them).
 """
+import contextlib
+import dataclasses
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -24,6 +27,58 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.attention import attention as attention_op
+
+
+# -- ambient sequence-parallel scope ------------------------------------------
+#
+# The model code stays mesh-agnostic: MMDiTBlock routes its joint attention
+# through ops.attention.dispatch_attention, which consults this scope. Enter
+# `sequence_parallel(mesh)` around jit tracing (pipeline call / train step)
+# to shard the token axis over 'sp' and run the Pallas kernel per shard
+# inside shard_map.
+
+_SP_SCOPE = threading.local()
+
+
+@dataclasses.dataclass(frozen=True)
+class SPScope:
+    mesh: Mesh
+    mode: str = "allgather"  # 'allgather' (training) | 'ring' (inference)
+
+
+def current_sp() -> Optional[SPScope]:
+    scope = getattr(_SP_SCOPE, "scope", None)
+    if scope is None:
+        return None
+    if scope.mesh.shape.get("sp", 1) <= 1:
+        return None
+    return scope
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh: Mesh, mode: str = "allgather"):
+    """Activate sp-sharded attention for code traced inside this block."""
+    prev = getattr(_SP_SCOPE, "scope", None)
+    _SP_SCOPE.scope = SPScope(mesh=mesh, mode=mode)
+    try:
+        yield
+    finally:
+        _SP_SCOPE.scope = prev
+
+
+def sp_constraint(x, spec_axes):
+    """with_sharding_constraint iff an sp scope is active; spec_axes is a
+    tuple of mesh-axis names (or None) per dim of x. Axes the dim cannot be
+    divided over are dropped (e.g. batch 1 on dp=2)."""
+    scope = current_sp()
+    if scope is None:
+        return x
+    axes = tuple(
+        a if (a is not None and scope.mesh.shape.get(a, 1) > 1
+              and x.shape[i] % scope.mesh.shape[a] == 0) else None
+        for i, a in enumerate(spec_axes))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(scope.mesh, P(*axes)))
 
 
 def allgather_kv_attention(q, k, v, axis_name: str = "sp", impl: str = "auto"):
@@ -35,56 +90,85 @@ def allgather_kv_attention(q, k, v, axis_name: str = "sp", impl: str = "auto"):
 
 def ring_attention(q, k, v, axis_name: str = "sp",
                    sm_scale: Optional[float] = None):
-    """Ring attention with cross-shard online-softmax combination.
+    """Ring attention: kv shards rotate via ppermute; each hop runs the
+    Pallas flash kernel (XLA softmax off-TPU) on the local (q, kv-block)
+    pair and the per-block outputs merge through their logsumexp weights:
 
-    q, k, v: [B, H, S_shard, D] (this chip's shard). Rotates kv blocks with
-    ppermute; per-block partials fold via the flash-attention correction.
+        o = sum_i o_i * 2^(lse_i - lse_tot),  lse_tot = log2 sum_i 2^lse_i
+
+    Peak memory O(seq/sp); the next block's ppermute is issued before the
+    local attention so XLA can overlap the transfer with the matmuls.
+    Inference path (the all-gather mode is the differentiable one).
+
+    q, k, v: [B, H, S_shard, D] (this chip's shard).
     """
-    d = q.shape[-1]
+    from ..ops.flash_attention import LOG2E, _flash_fwd
+
+    b, h, s, d = q.shape
     if sm_scale is None:
         sm_scale = d ** -0.5
     n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    use_pallas = jax.default_backend() == "tpu"
 
-    def partial_attn(q, kb, vb):
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, kb,
-                       preferred_element_type=jnp.float32) * sm_scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+    def partial(kb, vb):
+        if use_pallas:
+            qf = (q * (sm_scale * LOG2E)).astype(q.dtype).reshape(b * h, s, d)
+            o, lse2 = _flash_fwd(qf, kb.reshape(b * h, s, d),
+                                 vb.reshape(b * h, s, d), kv_valid=s,
+                                 block_q=min(1024, s), block_kv=min(2048, s),
+                                 interpret=False, block_kv_inner=256)
+            return (o.reshape(b, h, s, d).astype(jnp.float32),
+                    lse2.reshape(b, h, s, 1))
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, kb,
+                        preferred_element_type=jnp.float32) * sm_scale
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vb.dtype), vb
-                       ).astype(jnp.float32)
-        return o, m, l
-
-    perm = [(i, (i + 1) % n) for i in range(n)]
+                       ).astype(jnp.float32) / jnp.maximum(l, 1e-30)
+        return o, (m + jnp.log(jnp.maximum(l, 1e-30))) * LOG2E
 
     def body(carry, _):
-        o_acc, m_acc, l_acc, kb, vb = carry
-        o, m, l = partial_attn(q, kb, vb)
-        m_new = jnp.maximum(m_acc, m)
-        alpha = jnp.exp(m_acc - m_new)
-        beta = jnp.exp(m - m_new)
-        o_acc = o_acc * alpha + o * beta
-        l_acc = l_acc * alpha + l * beta
-        kb = jax.lax.ppermute(kb, axis_name, perm)
-        vb = jax.lax.ppermute(vb, axis_name, perm)
-        return (o_acc, m_new, l_acc, kb, vb), None
+        o_acc, lse_acc, kb, vb = carry
+        # issue the rotation first so the collective overlaps the attention
+        kb_next = jax.lax.ppermute(kb, axis_name, perm)
+        vb_next = jax.lax.ppermute(vb, axis_name, perm)
+        o, lse2 = partial(kb, vb)
+        lse_new = jnp.logaddexp2(lse_acc, lse2)
+        w_old = jnp.exp2(lse_acc - lse_new)
+        w_new = jnp.exp2(lse2 - lse_new)
+        o_acc = o_acc * w_old + o * w_new
+        return (o_acc, lse_new, kb_next, vb_next), None
 
-    b, h, s, _ = q.shape
     o0 = jnp.zeros((b, h, s, d), jnp.float32)
-    m0 = jnp.full((b, h, s, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((b, h, s, 1), jnp.float32)
-    (o, m, l, _, _), _ = jax.lax.scan(
-        body, (o0, m0, l0, k, v), None, length=n)
-    return (o / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    lse0 = jnp.full((b, h, s, 1), -jnp.inf, jnp.float32)
+    (o, _, _, _), _ = jax.lax.scan(body, (o0, lse0, k, v), None, length=n)
+    return o.astype(q.dtype)
 
 
 def make_sp_attention(mesh: Mesh, mode: str = "allgather",
-                      impl: str = "auto"):
+                      impl: str = "auto", shape=None):
     """shard_map-wrapped sequence-parallel attention: inputs [B, H, S, D]
-    sharded (batch on dp, heads on tp, seq on sp)."""
+    sharded (batch on dp, heads on tp, seq on sp).
+
+    shape: optional (B, H, S, D) used to drop mesh axes the tensor cannot be
+    divided over (e.g. CFG batch 2 on dp=1 meshes, odd head counts on tp).
+    The seq axis MUST divide by sp."""
     from jax.experimental.shard_map import shard_map
 
-    spec = P("dp", "tp", "sp", None)
+    def axis(name, dim):
+        size = mesh.shape.get(name, 1)
+        if size <= 1:
+            return None
+        if shape is not None and shape[dim] % size != 0:
+            if name == "sp":
+                raise ValueError(
+                    f"sequence length {shape[dim]} not divisible by sp={size}")
+            return None
+        return name
+
+    spec = P(axis("dp", 0), axis("tp", 1), axis("sp", 2), None)
 
     if mode == "allgather":
         fn = functools.partial(allgather_kv_attention, axis_name="sp",

@@ -34,6 +34,9 @@ def create_mesh(cfg: MeshConfig = MeshConfig(),
     if dp == -1:
         assert n % (cfg.sp * cfg.tp) == 0, (n, cfg)
         dp = n // (cfg.sp * cfg.tp)
-    assert dp * cfg.sp * cfg.tp == n, (dp, cfg.sp, cfg.tp, n)
-    arr = np.asarray(devices).reshape(dp, cfg.sp, cfg.tp)
+    need = dp * cfg.sp * cfg.tp
+    assert need <= n, (dp, cfg.sp, cfg.tp, n)
+    # explicit sizes smaller than the device count run on a sub-mesh
+    # (e.g. --mesh dp=1,sp=1,tp=1 on a multi-device host)
+    arr = np.asarray(devices[:need]).reshape(dp, cfg.sp, cfg.tp)
     return Mesh(arr, AXES)
