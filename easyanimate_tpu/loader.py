@@ -122,14 +122,105 @@ def _parse_types(v):
     return tuple(v)
 
 
+def load_text_encoders(
+    model_path: Optional[str] = None,
+    text_encoder_path: Optional[str] = None,
+    text_encoder_2_path: Optional[str] = None,
+    max_length: int = 256,
+):
+    """Build the prompt-encoding callable for a model directory.
+
+    Detects the edition's text stack from text_encoder/config.json (the
+    reference's load spine, predict_t2v.py:91-254 / ui.py:368-430):
+      qwen2 / qwen2_vl  (V5.1 "replace_t5_to_llm")  -> single stream
+      bert (+ text_encoder_2 mT5, V4/V5 multi-text) -> dual stream
+
+    Returns encode(prompts) -> {"text": [B,S,D], optional "text_t5"}.
+    """
+    te = text_encoder_path or (model_path and
+                               os.path.join(model_path, "text_encoder"))
+    if not te or not os.path.isdir(te):
+        raise FileNotFoundError(
+            f"no text encoder at {te!r}; pass text_encoder_path")
+    te2 = text_encoder_2_path or (model_path and
+                                  os.path.join(model_path, "text_encoder_2"))
+    cfg = _read_json(os.path.join(te, "config.json"))
+    model_type = cfg.get("model_type", "")
+
+    from .models.text.encoders import build_text_encoder
+
+    if model_type.startswith("qwen2"):
+        enc = build_text_encoder("qwen2_vl", te, max_length=max_length)
+
+        def encode(prompts):
+            emb, _ = enc(list(prompts))
+            return {"text": emb}
+
+        return encode
+
+    if model_type == "bert":
+        bert = build_text_encoder("bert", te)
+        if not (te2 and os.path.isdir(te2)):
+            raise FileNotFoundError(
+                "bert text encoder needs the mT5 text_encoder_2 directory")
+        mt5 = build_text_encoder("mt5", te2, max_length=max_length)
+
+        def encode(prompts):
+            emb, _ = bert(list(prompts))
+            emb2, _ = mt5(list(prompts))
+            return {"text": emb, "text_t5": emb2}
+
+        return encode
+
+    if model_type in ("t5", "mt5", "umt5"):  # V1-V3 single T5 stream
+        mt5 = build_text_encoder("mt5", te, max_length=max_length)
+
+        def encode(prompts):
+            emb, _ = mt5(list(prompts))
+            return {"text": emb}
+
+        return encode
+
+    raise ValueError(f"unrecognized text encoder model_type {model_type!r}")
+
+
+def _strict_check(transformer, cfg, tparams):
+    """All checkpoint keys consumed AND all model params initialized."""
+    import jax.numpy as jnp
+
+    from .models.convert import assert_params_complete
+    from .pipeline.t2v import build_rope
+
+    t, h, w = 2, 16, 16
+    lat = jnp.zeros((1, cfg.in_channels, t, h, w), cfg.jdtype)
+    ts = jnp.zeros((1,), jnp.float32)
+    txt = jnp.zeros((1, 4, cfg.text_embed_dim), cfg.jdtype)
+    kw = {}
+    if cfg.text_embed_dim_t5 is not None:
+        kw["encoder_hidden_states_t5"] = jnp.zeros(
+            (1, 4, cfg.text_embed_dim_t5), cfg.jdtype)
+    if cfg.ref_channels is not None or cfg.add_ref_latent_in_control_model:
+        kw["ref_latents"] = jnp.zeros(
+            (1, cfg.ref_channels or cfg.out_channels, 1, h, w), cfg.jdtype)
+    if cfg.clip_channels is not None:
+        kw["clip_encoder_hidden_states"] = jnp.zeros(
+            (1, 4, cfg.clip_channels), cfg.jdtype)
+    rope = build_rope(cfg, h * 8, w * 8, t)
+    assert_params_complete(tparams, transformer, lat, ts, txt, rope, **kw)
+
+
 def load_pipeline(
     model_path: str,
     pipeline_type: str = "t2v",
     dtype: str = "bfloat16",
     fp8_weights: bool = False,
     scheduler: Optional[str] = None,
+    strict: bool = True,
 ):
-    """Build a ready pipeline from a reference-format model directory."""
+    """Build a ready pipeline from a reference-format model directory.
+
+    strict=True verifies the converted transformer tree against the model's
+    expected parameter inventory (fail-loud on layout drift)."""
     tcfg_json = _read_json(os.path.join(model_path, "transformer", "config.json"))
     vcfg_json = _read_json(os.path.join(model_path, "vae", "config.json"))
     mmdit_cfg = mmdit_config_from_json(tcfg_json, dtype)
@@ -142,6 +233,8 @@ def load_pipeline(
     vsd = _load_safetensors_dir(os.path.join(model_path, "vae"))
     tparams = convert_mmdit_state_dict(tsd, mmdit_cfg)
     vparams = convert_vae_state_dict(vsd, vae_cfg)
+    if strict:
+        _strict_check(transformer, mmdit_cfg, tparams)
     cast = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     to_dev = lambda t: jnp.asarray(t, cast if t.ndim >= 2 else jnp.float32)
     if fp8_weights:

@@ -42,9 +42,39 @@ class EasyAnimateController:
                             else "t2v")
         self.pipeline = new
 
-    def update_edition(self, edition: str):
-        raise NotImplementedError(
-            "edition switching requires local checkpoints for " + edition)
+    #: edition name -> config yaml (reference ui.py update_edition table)
+    EDITION_CONFIGS = {
+        "v1": "config/easyanimate_video_v3_slicevae_motion_module.yaml",
+        "v2": "config/easyanimate_video_v3_slicevae_motion_module.yaml",
+        "v3": "config/easyanimate_video_v3_slicevae_motion_module.yaml",
+        "v4": "config/easyanimate_video_v4_slicevae_multi_text_encoder.yaml",
+        "v5": "config/easyanimate_video_v5_magvit_multi_text_encoder.yaml",
+        "v5.1": "config/easyanimate_video_v5.1_magvit_qwen.yaml",
+    }
+
+    def update_edition(self, edition: str, model_path: Optional[str] = None):
+        """Switch editions (reference ui.py:137-178): load the edition's
+        yaml config, and when a checkpoint directory is given rebuild the
+        pipeline from it. Returns the edition config dict so a front end can
+        sync its widgets (resolution choices etc.)."""
+        import os
+
+        from ..utils.config import load_yaml_config
+
+        key = edition.lower().replace("easyanimate", "").strip("-_ ")
+        if key not in self.EDITION_CONFIGS:
+            raise ValueError(
+                f"unknown edition {edition!r}; one of "
+                f"{sorted(self.EDITION_CONFIGS)}")
+        cfg_path = self.EDITION_CONFIGS[key]
+        root = os.path.join(os.path.dirname(__file__), "..", "..")
+        cfg = load_yaml_config(os.path.join(root, cfg_path)
+                               if not os.path.isabs(cfg_path) else cfg_path)
+        self.edition = key
+        self.edition_config = cfg
+        if model_path:
+            self.update_diffusion_transformer(model_path)
+        return cfg
 
     def update_lora(self, path: Optional[str], scale: float = 1.0):
         """Merge (or clear) a LoRA into the live transformer params."""
@@ -65,12 +95,23 @@ class EasyAnimateController:
     # -- generation -----------------------------------------------------------
 
     def _embeds(self, prompt, negative_prompt, batch=1):
+        """Returns (pos, neg, extra_kwargs). encode_text may be a
+        loader.load_text_encoders callable (prompts -> dict with "text" and
+        optionally "text_t5") or a legacy (prompt) -> (embeds, mask) pair."""
         if self.encode_text is None:
             raise ValueError("no text encoder attached; pass prompt embeds "
                              "to the pipeline directly")
-        pos, _ = self.encode_text(prompt)
-        neg, _ = self.encode_text(negative_prompt or "")
-        return pos, neg
+        pos = self.encode_text([prompt])
+        neg = self.encode_text([negative_prompt or ""])
+        if isinstance(pos, dict):
+            extra = {}
+            if pos.get("text_t5") is not None:
+                extra = {"prompt_embeds_t5": pos["text_t5"],
+                         "negative_prompt_embeds_t5": neg["text_t5"]}
+            return pos["text"], neg["text"], extra
+        if isinstance(pos, tuple):  # legacy (embeds, mask)
+            return pos[0], neg[0], {}
+        return pos, neg, {}
 
     def generate(
         self,
@@ -89,7 +130,8 @@ class EasyAnimateController:
         denoise_strength: float = 0.7,
         **kw,
     ) -> np.ndarray:
-        pos, neg = self._embeds(prompt, negative_prompt)
+        pos, neg, extra = self._embeds(prompt, negative_prompt)
+        kw = {**extra, **kw}
         rng = jax.random.PRNGKey(seed)
         if generation_method == "Image Generation":
             video_length = 1

@@ -21,18 +21,23 @@ def main():
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--pipeline", default="inpaint",
                     choices=["t2v", "inpaint", "control"])
+    ap.add_argument("--text_encoder_path", default=None,
+                    help="override <model_path>/text_encoder")
     ap.add_argument("--fp8", action="store_true")
     ap.add_argument("--scheduler", default="Flow")
     ap.add_argument("--server_port", type=int, default=7860)
     args = ap.parse_args()
 
     from easyanimate_tpu.api.server import EasyAnimateAPIServer
-    from easyanimate_tpu.loader import load_pipeline
+    from easyanimate_tpu.loader import load_pipeline, load_text_encoders
     from easyanimate_tpu.ui.controller import EasyAnimateController
 
     pipe = load_pipeline(args.model_path, args.pipeline,
                          fp8_weights=args.fp8, scheduler=args.scheduler)
-    controller = EasyAnimateController(pipeline=pipe)
+    encode_text = load_text_encoders(
+        args.model_path, text_encoder_path=args.text_encoder_path)
+    controller = EasyAnimateController(pipeline=pipe,
+                                       encode_text=encode_text)
 
     server = EasyAnimateAPIServer(controller)
     print(f"serving on http://0.0.0.0:{args.server_port} "
