@@ -266,6 +266,42 @@ def convert_vae_state_dict(sd: Dict[str, np.ndarray], cfg: MagvitVAEConfig):
     return {"params": _nest(flat)}
 
 
+def assert_params_complete(converted, model, *example_args, **example_kw):
+    """Strict mode: every parameter the flax model expects must be present
+    in the converted tree with the exact shape, and the tree must contain
+    nothing extra. Fails loud on real checkpoint layout drift (a silent key
+    mismatch on a 12B checkpoint would produce garbage output, not an
+    error). Reference layout: transformer3d.py:1347-1689."""
+    import jax
+
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), *example_args, **example_kw))
+
+    def flatten(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in kp):
+                tuple(np.shape(leaf))
+            for kp, leaf in flat
+        }
+
+    exp, got = flatten(expected), flatten(converted)
+    missing = sorted(set(exp) - set(got))
+    extra = sorted(set(got) - set(exp))
+    bad = sorted(k for k in set(exp) & set(got) if exp[k] != got[k])
+    if missing or extra or bad:
+        lines = []
+        if missing:
+            lines.append(f"missing {len(missing)}: {missing[:6]}")
+        if extra:
+            lines.append(f"unexpected {len(extra)}: {extra[:6]}")
+        if bad:
+            lines.append("shape mismatches: " + "; ".join(
+                f"{k}: ckpt{got[k]} != model{exp[k]}" for k in bad[:6]))
+        raise ValueError("checkpoint/model parameter mismatch -- "
+                         + " | ".join(lines))
+
+
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
 

@@ -189,3 +189,57 @@ def test_vae_conversion_structure(rng):
     from easyanimate_tpu.models.vae import vae_encode
     m = vae_encode(vae, variables, jnp.zeros((1, 3, 5, 16, 16)))
     assert np.isfinite(np.asarray(m)).all()
+
+
+class TestStrictConversion:
+    """Fail-loud checkpoint verification (VERDICT: a silent key mismatch on
+    a real 12B layout must error, not produce garbage)."""
+
+    def _setup(self, rng):
+        from easyanimate_tpu.pipeline.t2v import build_rope
+
+        cfg = PRESETS["tiny"]
+        sd = _synth_mmdit_sd(cfg, rng)
+        lat = jnp.zeros((1, cfg.in_channels, 2, 16, 16))
+        ts = jnp.zeros((1,))
+        txt = jnp.zeros((1, 4, cfg.text_embed_dim))
+        rope = build_rope(cfg, 128, 128, 2)
+        model = EasyAnimateTransformer3D(cfg)
+        return cfg, sd, model, (lat, ts, txt, rope)
+
+    def test_complete_checkpoint_passes(self, rng):
+        from easyanimate_tpu.models.convert import assert_params_complete
+
+        cfg, sd, model, args = self._setup(rng)
+        params = convert_mmdit_state_dict(sd, cfg)
+        assert_params_complete(params, model, *args)
+
+    def test_missing_key_fails(self, rng):
+        from easyanimate_tpu.models.convert import assert_params_complete
+
+        cfg, sd, model, args = self._setup(rng)
+        del sd["proj_out.weight"]
+        params = convert_mmdit_state_dict(sd, cfg)
+        with pytest.raises(ValueError, match="missing"):
+            assert_params_complete(params, model, *args)
+
+    def test_missing_block_key_fails_in_converter(self, rng):
+        cfg, sd, model, args = self._setup(rng)
+        del sd["transformer_blocks.0.attn1.to_q.weight"]
+        with pytest.raises(AssertionError):
+            convert_mmdit_state_dict(sd, cfg)
+
+    def test_unknown_key_fails(self, rng):
+        cfg, sd, model, args = self._setup(rng)
+        sd["transformer_blocks.0.attn1.bogus.weight"] = np.zeros((2, 2))
+        with pytest.raises(ValueError, match="unmapped"):
+            convert_mmdit_state_dict(sd, cfg)
+
+    def test_wrong_shape_fails(self, rng):
+        from easyanimate_tpu.models.convert import assert_params_complete
+
+        cfg, sd, model, args = self._setup(rng)
+        sd["proj_out.weight"] = np.zeros((7, cfg.inner_dim), np.float32)
+        params = convert_mmdit_state_dict(sd, cfg)
+        with pytest.raises(ValueError, match="shape"):
+            assert_params_complete(params, model, *args)
