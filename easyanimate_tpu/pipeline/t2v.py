@@ -308,20 +308,36 @@ class EasyAnimatePipeline:
 
         return run
 
-    def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
+    def decode_latents(self, latents: jnp.ndarray,
+                       smooth: Optional[bool] = None) -> np.ndarray:
         """latents -> uint8-ready float video in [0, 1], (B, C, T, H, W).
 
         Spatial tiling engages automatically above tile_latent_min_size
         (HBM headroom when the 12B transformer stays resident on the chip).
+
+        smooth: blend VAE chunk seams by re-decoding the half-chunk-shifted
+        middle and averaging (reference pipeline_easyanimate.py:706-742).
+        Default None follows the reference gating: on for slice chunk modes,
+        off for cache modes (whose causal caches have no seams).
         """
+        if smooth is None:
+            smooth = self.smooth_default()
         tile_latent = (self.vae_cfg.tile_sample_min_size
                        // self.vae_cfg.spatial_compression)
         tiled = max(latents.shape[-2:]) > tile_latent
-        video = self._decode_fn(tiled)(self.vae_params, latents)
+        smooth = (smooth and not tiled
+                  and latents.shape[2] > 1)  # image decode: nothing to blend
+        video = self._decode_fn(tiled, smooth)(self.vae_params, latents)
         return np.asarray(video)
 
+    def smooth_default(self) -> bool:
+        """Reference gating (pipeline_easyanimate.py:729-731): blend chunk
+        seams for slice-mode VAEs; cache modes carry causal state across
+        chunks and have no seams."""
+        return self.vae_cfg.chunk_mode in ("slice_mag", "slice_compression")
+
     @functools.lru_cache(maxsize=4)
-    def _decode_fn(self, tiled: bool = False):
+    def _decode_fn(self, tiled: bool = False, smooth: bool = False):
         vae = self.vae
         scale = self.vae_cfg.scaling_factor
 
@@ -334,6 +350,12 @@ class EasyAnimatePipeline:
                 video = vae_decode_tiled(vae, vae_params, lat)
             else:
                 video = vae_decode(vae, vae_params, lat)
+            if smooth:
+                from ..models.vae import smooth_output
+
+                video = jnp.clip(video, -1.0, 1.0)
+                video = smooth_output(vae, vae_params, video)
+                video = jnp.clip(video, -1.0, 1.0)
             return jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
         return run

@@ -220,3 +220,95 @@ def test_scan_chunk_equals_full_scan(rng):
     chunk_tc = pipe(pos, neg, teacache_threshold=0.3, scan_chunk=2, **kw)
     np.testing.assert_allclose(np.asarray(full_tc), np.asarray(chunk_tc),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_decode_latents_smooth_seams(rng):
+    """smooth_output engages in the decode path (reference
+    pipeline_easyanimate.py:706-742): blended decode differs from the raw
+    decode only in the middle, and the auto default follows the reference
+    gating (on for slice chunk modes, off for cache modes)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
+    from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+
+    vae_cfg = MagvitVAEConfig(
+        latent_channels=4, block_out_channels=(8, 16),
+        down_block_types=("SpatialTemporalDownBlock3D", "SpatialDownBlock3D"),
+        up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
+        layers_per_block=1, norm_num_groups=4, mini_batch_encoder=2,
+        mini_batch_decoder=1, scaling_factor=0.5)
+    cfg = PRESETS["tiny"]
+    transformer = EasyAnimateTransformer3D(cfg)
+    vae = AutoencoderKLMagvit(vae_cfg)
+    lat = jnp.zeros((1, 4, 2, 8, 8))
+    txt = jnp.zeros((1, 4, cfg.text_embed_dim))
+    tp = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt, None)
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = EasyAnimatePipeline(transformer=transformer, vae=vae,
+                               transformer_params=tp, vae_params=vp)
+    latents = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 5, 8, 8))
+    raw = pipe.decode_latents(latents, smooth=False)
+    smoothed = pipe.decode_latents(latents, smooth=True)
+    assert raw.shape == smoothed.shape
+    assert np.abs(raw - smoothed).max() > 1e-6  # seams actually blended
+    # untouched head half-chunk is identical
+    np.testing.assert_allclose(raw[:, :, :1], smoothed[:, :, :1], atol=1e-6)
+
+    # auto gating follows the reference decode_latents branch
+    for mode, expect in [("slice_mag", True), ("slice_compression", True),
+                         ("cache_mag", False), ("cache_compression", False)]:
+        p2 = EasyAnimatePipeline(
+            transformer=transformer,
+            vae=AutoencoderKLMagvit(_dc.replace(vae_cfg, chunk_mode=mode)),
+            transformer_params=tp, vae_params=vp)
+        assert p2.smooth_default() == expect, mode
+
+
+def test_swa_plus_teacache_stacked(rng):
+    """The benched flagship fast path (bench.py): SWA layers + TeaCache in
+    one pipeline run, finite outputs, and never-skip TeaCache equals the
+    plain SWA run bit-for-bit."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
+    from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+
+    cfg = _dc.replace(PRESETS["tiny"], num_layers=2, swa_layers=(1,))
+    vae_cfg = MagvitVAEConfig(
+        latent_channels=4, block_out_channels=(8, 16),
+        down_block_types=("SpatialTemporalDownBlock3D", "SpatialDownBlock3D"),
+        up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
+        layers_per_block=1, norm_num_groups=4, mini_batch_encoder=2,
+        mini_batch_decoder=1, scaling_factor=0.5)
+    transformer = EasyAnimateTransformer3D(cfg)
+    vae = AutoencoderKLMagvit(vae_cfg)
+    lat = jnp.zeros((1, 4, 2, 16, 16))
+    txt = jnp.zeros((1, 8, cfg.text_embed_dim))
+    tp_ = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                           None)
+    vp_ = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = EasyAnimatePipeline(transformer=transformer, vae=vae,
+                               transformer_params=tp_, vae_params=vp_)
+    pos = jnp.asarray(rng.standard_normal((1, 8, cfg.text_embed_dim)),
+                      jnp.float32)
+    neg = jnp.zeros_like(pos)
+    kw = dict(height=32, width=32, video_length=5, num_inference_steps=4,
+              guidance_scale=3.0, rng=jax.random.PRNGKey(3), decode=False,
+              output_type="latent")
+    plain = np.asarray(pipe(pos, neg, **kw))
+    stacked = np.asarray(pipe(pos, neg, teacache_threshold=-1e9, **kw))
+    skipping = np.asarray(pipe(pos, neg, teacache_threshold=1e9, **kw))
+    np.testing.assert_allclose(stacked, plain, atol=1e-5)
+    assert np.isfinite(skipping).all()
+    assert np.abs(skipping - plain).max() > 1e-6  # skipping actually engaged
