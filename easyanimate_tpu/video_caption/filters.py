@@ -115,3 +115,57 @@ def filter_manifest(entries: Sequence[dict], *,
             continue
         out.append(e)
     return out
+
+
+def clip_image_embed_fn(clip_path: Optional[str] = None, model=None):
+    """CLIP image-embedding callable for compute_semantic_consistency,
+    running on the in-repo FlaxCLIP stack (same tower the reward functions
+    use, reward/reward_fn.py). Pass either a local CLIP directory or an
+    already-built FlaxCLIPModel (compute_semantic_consistency.py parity)."""
+    import jax.numpy as jnp
+
+    if model is None:
+        from transformers import FlaxCLIPModel
+
+        model = FlaxCLIPModel.from_pretrained(clip_path, from_pt=True)
+    size = model.config.vision_config.image_size
+
+    def embed(frame_rgb: np.ndarray) -> np.ndarray:
+        import cv2
+
+        f = cv2.resize(frame_rgb, (size, size)).astype(np.float32) / 255.0
+        mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+        std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+        pix = ((f - mean) / std).transpose(2, 0, 1)[None]
+        emb = model.get_image_features(pixel_values=jnp.asarray(pix))
+        return np.asarray(emb[0])
+
+    return embed
+
+
+def aesthetic_score_fn(clip_path: Optional[str] = None,
+                       head_state_dict=None, model=None, head_params=None):
+    """Per-video aesthetic score via the reward stack's AestheticReward
+    (utils/image_evaluator.py parity: CLIP tower + linear aesthetic head)."""
+    import jax.numpy as jnp
+
+    from ..reward.reward_fn import AestheticReward, convert_aesthetic_head
+
+    if model is None:
+        from transformers import FlaxCLIPModel
+
+        model = FlaxCLIPModel.from_pretrained(clip_path, from_pt=True)
+    if head_params is None:
+        head_params = convert_aesthetic_head(head_state_dict)
+    scorer = AestheticReward(model=model, head_params=head_params)
+
+    def score(video_path: str, num_frames: int = 4) -> float:
+        frames = _sample_frames(video_path, num=num_frames)
+        if not frames:
+            return 0.0
+        clip = np.stack([f.astype(np.float32) / 255.0 for f in frames])
+        clip = clip[None]  # (B=1, T, H, W, C) in [0, 1]
+        _, reward = scorer(jnp.asarray(clip))
+        return float(reward)
+
+    return score

@@ -111,3 +111,53 @@ def test_caption_rewrite_extraction_and_manifest():
     ]
     kept = filter_meta_train(entries)
     assert len(kept) == 1 and kept[0]["motion_score"] == 5.0
+
+
+def _tiny_clip_model():
+    from transformers import CLIPConfig, FlaxCLIPModel
+
+    cfg = CLIPConfig(
+        text_config={"vocab_size": 49408, "hidden_size": 16,
+                     "num_hidden_layers": 1, "num_attention_heads": 2,
+                     "intermediate_size": 32, "projection_dim": 8},
+        vision_config={"hidden_size": 16, "num_hidden_layers": 1,
+                       "num_attention_heads": 2, "intermediate_size": 32,
+                       "image_size": 32, "patch_size": 16,
+                       "projection_dim": 8},
+        projection_dim=8)
+    return FlaxCLIPModel(cfg, seed=0)
+
+
+def test_semantic_consistency_with_flax_clip(tmp_path):
+    """CLIP keyframe cosine similarity on the in-repo Flax tower
+    (compute_semantic_consistency.py parity): a static clip scores higher
+    than a hard-cut color-flip clip."""
+    from easyanimate_tpu.video_caption.filters import (
+        clip_image_embed_fn, compute_semantic_consistency)
+
+    static = str(tmp_path / "static.mp4")
+    _write_video(static, [(16, 120)])
+    cuts = str(tmp_path / "cuts.mp4")
+    _write_video(cuts, [(4, 0), (4, 250), (4, 10), (4, 200)])
+
+    embed = clip_image_embed_fn(model=_tiny_clip_model())
+    s_static = compute_semantic_consistency(static, embed, num_keyframes=4)
+    s_cuts = compute_semantic_consistency(cuts, embed, num_keyframes=4)
+    assert -1.0 <= s_cuts <= 1.0 and -1.0 <= s_static <= 1.0001
+    assert s_static > s_cuts
+
+
+def test_aesthetic_score_fn_runs(tmp_path):
+    import numpy as np
+
+    from easyanimate_tpu.video_caption.filters import aesthetic_score_fn
+
+    path = str(tmp_path / "v.mp4")
+    _write_video(path, [(8, "moving")])
+    head = {"w0": np.zeros((8, 4), np.float32) + 0.1,
+            "b0": np.zeros((4,), np.float32),
+            "w1": np.zeros((4, 1), np.float32) + 0.2,
+            "b1": np.ones((1,), np.float32)}
+    score = aesthetic_score_fn(model=_tiny_clip_model(), head_params=head)
+    v = score(path)
+    assert np.isfinite(v)
