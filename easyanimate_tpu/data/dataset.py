@@ -51,6 +51,26 @@ def _read_video(path: str, frame_indices: np.ndarray) -> np.ndarray:
     return np.stack([frames[int(i)] for i in frame_indices])
 
 
+def _probe_frame_count(path: str) -> int:
+    """Actual frame count of a video file (the reference reads it via
+    decord); 0 when undeterminable."""
+    try:
+        import decord  # type: ignore
+
+        return len(decord.VideoReader(path))
+    except ImportError:
+        pass
+    try:
+        import cv2  # type: ignore
+
+        cap = cv2.VideoCapture(path)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        return max(total, 0)
+    except ImportError:
+        return 0
+
+
 def _read_image(path: str) -> np.ndarray:
     from PIL import Image
 
@@ -137,6 +157,7 @@ class ImageVideoDataset:
             # stride sampling from a random clip start; stride shrinks for
             # short clips (reference clamps to the available range)
             total = int(e.get("num_frames") or
+                        _probe_frame_count(self._path(e)) or
                         (n - 1) * self.video_sample_stride + 1)
             stride = self.video_sample_stride
             if (n - 1) * stride + 1 > total:

@@ -1,14 +1,19 @@
-"""SFT / LoRA training driver (reference scripts/train.py + train_lora.py
-equivalent, accelerate+DeepSpeed replaced by one GSPMD mesh).
+"""SFT / LoRA training driver (reference scripts/train.py + train_lora.py +
+train_control.py equivalent; accelerate+DeepSpeed replaced by one GSPMD mesh,
+multi-node by jax.distributed + per-host data feeding).
 
   python examples/train.py --train_data_meta train.json --output_dir runs/x \
-      [--model_path ckpt_dir] [--lora_rank 32] [--loss_type flow] \
-      [--mesh dp=4,sp=1,tp=2] [--token_length 13312] ...
+      [--model_path ckpt_dir] [--text_encoder_path qwen_dir] \
+      [--lora_rank 32] [--loss_type flow] [--mesh dp=4,sp=1,tp=2] \
+      [--trainable_modules attn1 ff --trainable_modules_low_lr txt_ff] \
+      [--gradient_accumulation_steps 4 --lr_scheduler cosine] \
+      [--train_mode control_camera_ref] [--distributed ...] ...
 
 Without --model_path it trains the tiny random-weight config (pipeline
 smoke / CI). The loop: aspect-bucket batching -> native frame preprocessing
--> VAE encode (no grad) -> text encode (or cached embeds) -> sharded train
-step -> EMA -> orbax checkpoints with sampler-cursor resume -> metric logs.
+-> token-length batch tiling / frame crop -> VAE encode (no grad) -> text
+encode (or cached embeds) -> sharded train step -> EMA -> orbax checkpoints
+with sampler-cursor resume -> metric logs.
 """
 import argparse
 import dataclasses
@@ -28,12 +33,28 @@ def parse_args():
     ap.add_argument("--train_data_dir", default=None)
     ap.add_argument("--output_dir", default="runs/train")
     ap.add_argument("--model_path", default=None)
+    ap.add_argument("--text_encoder_path", default=None,
+                    help="override <model_path>/text_encoder")
     ap.add_argument("--config_path",
                     default="config/easyanimate_video_v5.1_magvit_qwen.yaml")
     ap.add_argument("--loss_type", default="flow",
                     choices=["flow", "ddpm", "sigma"])
     ap.add_argument("--learning_rate", type=float, default=2e-5)
+    ap.add_argument("--weight_decay", type=float, default=3e-2)
     ap.add_argument("--max_grad_norm", type=float, default=0.05)
+    ap.add_argument("--adaptive_grad_clip", action="store_true",
+                    help="reference train.py:2116-2137 decaying clip")
+    ap.add_argument("--initial_grad_norm_ratio", type=float, default=5.0)
+    ap.add_argument("--abnormal_norm_clip_start", type=int, default=1000)
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "came", "adamw8bit"])
+    ap.add_argument("--lr_scheduler", default="constant",
+                    choices=["constant", "linear", "cosine"])
+    ap.add_argument("--lr_warmup_steps", type=int, default=0)
+    ap.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    ap.add_argument("--trainable_modules", nargs="+", default=None)
+    ap.add_argument("--trainable_modules_low_learning_rate", nargs="+",
+                    dest="trainable_modules_low_lr", default=[])
     ap.add_argument("--train_batch_size", type=int, default=1)
     ap.add_argument("--video_sample_n_frames", type=int, default=49)
     ap.add_argument("--sample_height", type=int, default=384)
@@ -47,13 +68,26 @@ def parse_args():
                     help=">0 trains a LoRA instead of full SFT")
     ap.add_argument("--enable_inpaint", action="store_true")
     ap.add_argument("--train_mode", default="sft",
-                    choices=["sft", "control"],
-                    help="control: condition on control videos "
-                         "(train_control.py parity)")
+                    choices=["sft", "control", "control_camera_ref"],
+                    help="control: condition on control videos; "
+                         "control_camera_ref: Plucker camera conditioning "
+                         "(train_control.py:1374-1387 parity)")
+    # token-length batch shaping (reference train.py:1677-1768)
+    ap.add_argument("--training_with_video_token_length", action="store_true",
+                    help="tile small-token batches 2x/4x")
+    ap.add_argument("--token_sample_size", type=int, default=512)
+    ap.add_argument("--random_frame_crop", action="store_true")
+    ap.add_argument("--keep_all_node_same_token_length", action="store_true")
     ap.add_argument("--validation_steps", type=int, default=0,
                     help=">0: render a validation sample every N steps "
                          "(log_validation parity)")
     ap.add_argument("--mesh", default="dp=-1,sp=1,tp=1")
+    # multi-host (scripts/train.sh multinode parity)
+    ap.add_argument("--distributed", action="store_true",
+                    help="jax.distributed.initialize (one process per host)")
+    ap.add_argument("--coordinator_address", default=None)
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     ap.add_argument("--dataloader_num_workers", type=int, default=4)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--resume_from_checkpoint", action="store_true")
@@ -70,16 +104,31 @@ def main():
         ResumableRandomSampler,
     )
     from easyanimate_tpu.models.vae import gaussian_sample, vae_encode
-    from easyanimate_tpu.parallel import MeshConfig, create_mesh
+    from easyanimate_tpu.parallel import (
+        MeshConfig,
+        create_mesh,
+        data_spec,
+        init_distributed,
+        make_global_batch,
+        mmdit_param_specs,
+    )
     from easyanimate_tpu.pipeline.t2v import build_rope
     from easyanimate_tpu.training import (
         FlowMatchLossConfig,
         TrainConfig,
+        TrainState,
         create_train_state,
+        make_optimizer,
         make_train_step,
     )
     from easyanimate_tpu.training.checkpoints import CheckpointManager
     from easyanimate_tpu.utils.observability import MetricLogger, StepTimer
+
+    if args.distributed:
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
+        print(f"process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()} local devices")
 
     mesh_kw = dict(kv.split("=") for kv in args.mesh.split(","))
     mesh = create_mesh(MeshConfig(**{k: int(v) for k, v in mesh_kw.items()}))
@@ -89,31 +138,34 @@ def main():
         args.sample_height = args.sample_width = 32
         args.video_sample_n_frames = 5
         transformer, vae, tparams, vparams, text_dim = _tiny_models(
-            args.enable_inpaint, args.train_mode == "control")
-        encode_text = lambda texts: jnp.zeros(
-            (len(texts), 8, text_dim), jnp.float32)
+            args.enable_inpaint, args.train_mode != "sft",
+            enable_camera=args.train_mode == "control_camera_ref")
+        encode_text = lambda texts: {"text": jnp.zeros(
+            (len(texts), 8, text_dim), jnp.float32)}
         vae_cfg = vae.cfg
     elif args.model_path:
-        from easyanimate_tpu.loader import load_pipeline
+        from easyanimate_tpu.loader import load_pipeline, load_text_encoders
 
         pipe = load_pipeline(args.model_path,
                              "inpaint" if args.enable_inpaint else "t2v")
         transformer, vae = pipe.transformer, pipe.vae
         tparams, vparams = pipe.transformer_params, pipe.vae_params
         vae_cfg = vae.cfg
-        raise SystemExit("wire a text encoder for full training runs "
-                         "(see examples/predict_t2v.py _encode_text)")
+        encode_text = load_text_encoders(
+            args.model_path, text_encoder_path=args.text_encoder_path)
     else:
         raise SystemExit("pass --model_path or --tiny_demo")
 
-    if args.train_mode == "control":
+    enable_camera = args.train_mode == "control_camera_ref"
+    if args.train_mode in ("control", "control_camera_ref"):
         from easyanimate_tpu.data import ImageVideoControlDataset
 
         dataset = ImageVideoControlDataset(
             args.train_data_meta, args.train_data_dir,
             video_sample_n_frames=args.video_sample_n_frames,
             height=args.sample_height, width=args.sample_width,
-            enable_inpaint=False, seed=args.seed)
+            enable_inpaint=False, seed=args.seed,
+            enable_camera=enable_camera)
     else:
         dataset = ImageVideoDataset(
             args.train_data_meta, args.train_data_dir,
@@ -130,7 +182,17 @@ def main():
                              num_workers=args.dataloader_num_workers))
 
     tcfg = TrainConfig(
-        learning_rate=args.learning_rate, max_grad_norm=args.max_grad_norm,
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        adaptive_grad_clip=args.adaptive_grad_clip,
+        initial_grad_norm_ratio=args.initial_grad_norm_ratio,
+        abnormal_norm_clip_start=args.abnormal_norm_clip_start,
+        optimizer=args.optimizer, lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        trainable_modules=args.trainable_modules,
+        trainable_modules_low_lr=tuple(args.trainable_modules_low_lr),
         use_ema=args.use_ema, loss_type=args.loss_type,
         loss=FlowMatchLossConfig(uniform_bands=args.uniform_sampling_bands))
     if args.lora_rank > 0:
@@ -140,10 +202,20 @@ def main():
         init_fn, step_fn = make_lora_train_step(
             transformer, tcfg, LoRAConfig(rank=args.lora_rank), tparams)
         state = init_fn(jax.random.PRNGKey(args.seed))
+        state_specs = None  # LoRA states are tiny; replicate
     else:
         state = create_train_state(tparams, tcfg)
-        step_fn = make_train_step(transformer, tcfg)
-    jstep = jax.jit(step_fn)
+        step_fn = make_train_step(transformer, tcfg,
+                                  params=tparams["params"])
+        state_specs = _state_specs(state, tcfg, mmdit_param_specs,
+                                   make_optimizer, TrainState)
+    if state_specs is not None:
+        from jax.sharding import NamedSharding
+
+        state = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            state, state_specs)
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
 
     ckpts = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                               max_to_keep=args.checkpoints_total_limit)
@@ -156,26 +228,26 @@ def main():
 
     logger = MetricLogger(args.output_dir)
     timer = StepTimer()
-    rng = jax.random.PRNGKey(args.seed)
+    rng = jax.random.PRNGKey(args.seed + 1000 * jax.process_index())
     lat_scale = vae_cfg.scaling_factor
     step0 = int(np.asarray(state.step))
+    shape_rng = np.random.RandomState(args.seed)
 
     with mesh:
         for step in range(step0, args.max_train_steps):
             loaded = next(loader)
+            loaded = _shape_batch(args, loaded, vae_cfg, shape_rng)
             pixels = loaded["pixel_values"] * 2.0 - 1.0  # [-1,1] for the VAE
             rng, r_enc, r_step = jax.random.split(rng, 3)
             moments = vae_encode(vae, vparams, jnp.asarray(pixels))
             latents = gaussian_sample(moments, r_enc, axis=1) * lat_scale
-            text = encode_text(loaded["text"])
+            embeds = encode_text(loaded["text"])
             batch = {
                 "latents": latents,
-                "text": text,
-                "rope": build_rope(
-                    transformer.cfg, args.sample_height, args.sample_width,
-                    latents.shape[2],
-                    vae_scale=vae_cfg.spatial_compression),
+                "text": embeds["text"],
             }
+            if embeds.get("text_t5") is not None:
+                batch["text_t5"] = embeds["text_t5"]
             if args.enable_inpaint:
                 batch["inpaint_latents"] = _inpaint_latents(
                     vae, vparams, loaded, pixels, latents, lat_scale,
@@ -188,6 +260,21 @@ def main():
                     vae_encode(vae, vparams, jnp.asarray(ctl * 2 - 1)),
                     axis=1) * lat_scale
                 batch["control_latents"] = ctl_lat.astype(latents.dtype)
+            elif args.train_mode == "control_camera_ref":
+                batch["control_latents"] = _camera_latents(
+                    loaded, latents, vae_cfg, transformer.cfg)
+            # shard the batch onto the mesh (multi-host: assemble the global
+            # batch from each process's local slice)
+            specs = {"latents": data_spec("latents"),
+                     "text": data_spec("text"),
+                     "text_t5": data_spec("text"),
+                     "inpaint_latents": data_spec("latents"),
+                     "control_latents": data_spec("latents")}
+            batch = make_global_batch(mesh, batch, specs)
+            batch["rope"] = build_rope(
+                transformer.cfg, args.sample_height, args.sample_width,
+                int(latents.shape[2]),
+                vae_scale=vae_cfg.spatial_compression)
             state, metrics = jstep(state, batch, r_step)
             metrics.update(timer.tick())
             logger.log(step, metrics)
@@ -195,12 +282,99 @@ def main():
                 print(f"step {step}: loss={float(metrics['loss']):.4f} "
                       f"gnorm={float(metrics['grad_norm']):.3f}")
             if (step + 1) % args.checkpointing_steps == 0:
-                ckpts.save(step + 1, state, sampler.state_dict())
+                if jax.process_index() == 0:
+                    ckpts.save(step + 1, state, sampler.state_dict())
             if args.validation_steps and (step + 1) % args.validation_steps == 0:
                 _log_validation(args, transformer, vae,
                                 state, vparams, encode_text, step + 1)
-    ckpts.save(args.max_train_steps, state, sampler.state_dict())
-    print("done; checkpoints in", ckpts.directory)
+    if jax.process_index() == 0:
+        ckpts.save(args.max_train_steps, state, sampler.state_dict())
+        print("done; checkpoints in", ckpts.directory)
+
+
+def _state_specs(state, tcfg, mmdit_param_specs, make_optimizer, TrainState):
+    """ZeRO-style optimizer sharding: opt-state specs inherit param specs."""
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    param_specs = mmdit_param_specs(state.params)
+    tx = make_optimizer(tcfg, state.params["params"])
+    opt_specs = optax.tree_map_params(
+        tx, lambda _, s: s, state.opt_state, param_specs["params"],
+        transform_non_params=lambda _: P(),
+    )
+    return TrainState(
+        step=P(), params=param_specs, opt_state=opt_specs,
+        ema_params=param_specs["params"] if state.ema_params is not None
+        else None,
+    )
+
+
+def _shape_batch(args, loaded, vae_cfg, rng):
+    """Token-length batch shaping (reference train.py:1677-1768):
+    tile small batches, randomly crop frames, equalize token lengths."""
+    pixels = loaded["pixel_values"]  # (B, C, T, H, W) float in [0,1]
+    b, c, t, h, w = pixels.shape
+    interval = getattr(vae_cfg, "mini_batch_encoder", 4)
+    cache_mag = getattr(vae_cfg, "chunk_mode", "") == "cache_mag"
+
+    tile_keys = [k for k in ("pixel_values", "control_pixel_values",
+                             "control_camera_values", "mask_pixel_values",
+                             "mask") if k in loaded]
+
+    if args.training_with_video_token_length:
+        target = args.video_sample_n_frames * args.token_sample_size ** 2
+        actual = t * h * w
+        reps = 4 if target // 16 >= actual else (
+            2 if target // 4 >= actual else 1)
+        if reps > 1:
+            for k in tile_keys:
+                loaded[k] = np.tile(loaded[k],
+                                    (reps,) + (1,) * (loaded[k].ndim - 1))
+            loaded["text"] = list(loaded["text"]) * reps
+
+    if args.random_frame_crop and t > 1:
+        lo = interval + 1 if cache_mag else interval
+        options = list(range(lo, args.video_sample_n_frames + interval,
+                             interval))
+        probs = ([0.1 / max(len(options) - 1, 1)] * (len(options) - 1)
+                 + [0.9]) if len(options) > 1 else [1.0]
+        n = int(rng.choice(options, p=np.array(probs) / np.sum(probs)))
+        n = min(n, t)
+        for k in tile_keys:
+            if loaded[k].ndim >= 3 and loaded[k].shape[2] == t:
+                loaded[k] = loaded[k][:, :, :n]
+
+    if args.keep_all_node_same_token_length and t > 1:
+        sizes = list(range(256, max(args.token_sample_size, 256) + 1, 128))
+        if sizes[-1] != args.token_sample_size and args.token_sample_size > 256:
+            sizes.append(args.token_sample_size)
+        tok = int(rng.choice(sizes)) ** 2 * args.video_sample_n_frames
+        tcur = loaded["pixel_values"].shape[2]
+        n = min(tok / (h * w), args.video_sample_n_frames)
+        n = (int(n) - 1) // interval * interval + 1 if cache_mag \
+            else int(n) // interval * interval
+        n = max(min(n, tcur), 1)
+        for k in tile_keys:
+            if loaded[k].ndim >= 3 and loaded[k].shape[2] == tcur:
+                loaded[k] = loaded[k][:, :, :n]
+    return loaded
+
+
+def _camera_latents(loaded, latents, vae_cfg, cfg):
+    """Plucker camera video -> control latent channels (the camera-control
+    model conditions on the resized 6ch Plucker embedding rather than a
+    VAE-encoded video; matches pipeline/control.py and the reference's
+    train_control.py camera path)."""
+    from easyanimate_tpu.pipeline.inpaint import resize_mask_to_latent
+
+    cam = jnp.asarray(loaded["control_camera_values"], jnp.float32)
+    ctl = resize_mask_to_latent(cam, latents.shape,
+                                first_frame_special=True) * 6.0
+    if cfg.add_ref_latent_in_control_model:
+        ctl = jnp.concatenate(
+            [ctl, jnp.zeros(latents.shape, ctl.dtype)], axis=1)
+    return ctl.astype(latents.dtype)
 
 
 def _log_validation(args, transformer, vae, state, vparams, encode_text,
@@ -209,12 +383,10 @@ def _log_validation(args, transformer, vae, state, vparams, encode_text,
     from easyanimate_tpu.pipeline import EasyAnimatePipeline
     from easyanimate_tpu.utils.media import save_videos_grid
 
-    params = state.params if "params" in getattr(state.params, "keys",
-                                                 lambda: [])() else None
-    tparams = state.params if params is None else state.params
+    tparams = state.params
     if not isinstance(tparams, dict) or "params" not in tparams:
         return  # LoRA state: skip (merge handled by predict scripts)
-    if args.train_mode == "control":
+    if args.train_mode in ("control", "control_camera_ref"):
         from easyanimate_tpu.pipeline import EasyAnimateControlPipeline
 
         pipe = EasyAnimateControlPipeline(
@@ -230,7 +402,7 @@ def _log_validation(args, transformer, vae, state, vparams, encode_text,
         pipe = EasyAnimatePipeline(
             transformer=transformer, vae=vae, transformer_params=tparams,
             vae_params=vparams)
-    pos = encode_text(["validation sample"])
+    pos = encode_text(["validation sample"])["text"]
     neg = jnp.zeros_like(pos)
     video = pipe(pos, neg, height=args.sample_height,
                  width=args.sample_width,
@@ -258,7 +430,7 @@ def _inpaint_latents(vae, vparams, samples, pixels, latents, scale, cfg):
     return jnp.concatenate([mask_lat, masked_lat], axis=1).astype(latents.dtype)
 
 
-def _tiny_models(enable_inpaint, enable_control=False):
+def _tiny_models(enable_inpaint, enable_control=False, enable_camera=False):
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
     from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
 
@@ -268,11 +440,12 @@ def _tiny_models(enable_inpaint, enable_control=False):
         up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
         layers_per_block=1, norm_num_groups=4, mini_batch_encoder=2,
         mini_batch_decoder=1, scaling_factor=0.5)
+    ctl_ch = 6 if enable_camera else 4  # camera control = 6ch Plucker video
     in_ch = 4
     if enable_inpaint:
         in_ch = 9
     elif enable_control:
-        in_ch = 8
+        in_ch = 4 + ctl_ch
     mmdit_cfg = dataclasses.replace(PRESETS["tiny"], in_channels=in_ch,
                                     out_channels=4)
     transformer = EasyAnimateTransformer3D(mmdit_cfg)
@@ -283,7 +456,7 @@ def _tiny_models(enable_inpaint, enable_control=False):
     if enable_inpaint:
         kw["inpaint_latents"] = jnp.zeros((1, 5, 3, 16, 16))
     elif enable_control:
-        kw["control_latents"] = jnp.zeros((1, 4, 3, 16, 16))
+        kw["control_latents"] = jnp.zeros((1, ctl_ch, 3, 16, 16))
     tp = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
                           None, **kw)
     vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))

@@ -74,12 +74,46 @@ def main():
     else:
         if not args.model_path:
             raise SystemExit("pass --model_path or --tiny_demo")
-        from easyanimate_tpu.loader import load_pipeline
+        if not args.train_data_meta:
+            raise SystemExit("pass --train_data_meta (json manifest)")
+        from easyanimate_tpu.data import (
+            AspectRatioBatchSampler,
+            DataLoader,
+            ImageVideoDataset,
+            ResumableRandomSampler,
+        )
+        from easyanimate_tpu.loader import load_pipeline, load_text_encoders
+        from easyanimate_tpu.models.vae import gaussian_sample, vae_encode
 
         pipe = load_pipeline(args.model_path, "t2v")
         model, teacher = pipe.transformer, pipe.transformer_params
-        raise SystemExit("wire a dataset + VAE encode loop for full runs "
-                         "(see examples/train.py)")
+        vae, vp = pipe.vae, pipe.vae_params
+        encode_text = load_text_encoders(args.model_path)
+        dataset = ImageVideoDataset(
+            args.train_data_meta, args.train_data_dir,
+            video_sample_n_frames=49, height=384, width=672, seed=args.seed)
+        sampler = ResumableRandomSampler(len(dataset), seed=args.seed)
+        loader = iter(DataLoader(
+            dataset,
+            AspectRatioBatchSampler(sampler=sampler,
+                                    batch_size=args.train_batch_size,
+                                    sample_info=dataset.sample_info()),
+            num_workers=2))
+        enc_rng = jax.random.PRNGKey(args.seed + 1)
+
+        def _batches():
+            nonlocal enc_rng
+            for _ in range(args.max_train_steps):
+                loaded = next(loader)
+                pixels = jnp.asarray(loaded["pixel_values"] * 2.0 - 1.0)
+                enc_rng, r = jax.random.split(enc_rng)
+                moments = vae_encode(vae, vp, pixels)
+                latents = gaussian_sample(moments, r, axis=1) \
+                    * vae.cfg.scaling_factor
+                yield {"latents": latents,
+                       "text": encode_text(loaded["text"])["text"]}
+
+        batches = _batches()
 
     init_fn, step_fn = make_lcm_train_step(
         model, teacher, DDIMConfig(),

@@ -94,8 +94,26 @@ def main():
     else:
         if not args.model_path:
             raise SystemExit("pass --model_path or --tiny_demo")
-        raise SystemExit("wire a text encoder + prompt list for full runs "
-                         "(see examples/train.py)")
+        from easyanimate_tpu.loader import load_pipeline, load_text_encoders
+
+        pipe = load_pipeline(args.model_path, "t2v")
+        model, vae = pipe.transformer, pipe.vae
+        base, vp = pipe.transformer_params, pipe.vae_params
+        vae_scaling = vae.cfg.scaling_factor
+        encode_text = load_text_encoders(args.model_path)
+        train_prompts = (open(args.prompt_path).read().splitlines()
+                         if args.prompt_path
+                         else ["a photo of a cat"])  # ref default prompt set
+        latent_shape = pipe.latent_shape(1, 49, 384, 672)
+        rng = np.random.default_rng(args.seed)
+
+        def _batches():
+            for _ in range(args.max_train_steps):
+                p = train_prompts[int(rng.integers(len(train_prompts)))]
+                yield {"text": encode_text([p])["text"],
+                       "latent_shape": latent_shape}
+
+        batches = _batches()
 
     if args.reward == "brightness":
         # differentiable proxy useful for smoke tests
