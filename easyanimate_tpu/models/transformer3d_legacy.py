@@ -18,8 +18,8 @@ motion_module.py. Covered configuration space (the shipped V1-V3 yamls):
   - output: scale_shift_table(2, dim) + embedded timestep -> LN modulation
     -> proj_out -> per-frame unpatchify
 patch_3d / fake_3d / casual_3d patchify variants and the casual-3D
-mid-stack upsampler are not yet ported (none of the published V1-V3
-checkpoints default to them).
+mid-stack upsampler are ported too (`patch_mode` + `unpatchify_3d`; see
+tests/test_legacy_models.py::test_patch_modes).
 """
 import dataclasses
 import math
