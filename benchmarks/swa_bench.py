@@ -1,0 +1,65 @@
+"""SWA joint-attention microbench at the 12B model's headline shapes
+(B=2 CFG, H=48, 256 text + 13x24x42 video tokens, window = 1008)."""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+B, H, D = 2, 48, 64
+ST = 256
+GF, GH, GW = 13, 24, 42
+SV = GF * GH * GW
+S = ST + SV
+
+
+def timed(fn, *args, iters=8, warm=8):
+    for _ in range(warm):
+        out = fn(*args)
+    float(out.reshape(-1)[0])
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    float(out.reshape(-1)[0])
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", default="1024,512,256;1024,256,256;512,512,256;"
+                                       "1024,512,512;2048,512,256")
+    args = ap.parse_args()
+    from easyanimate_tpu.ops.swa import (sliding_window_attention,
+                                         swa_joint_attention)
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, S, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, D), jnp.bfloat16)
+
+    t = timed(jax.jit(lambda q, k, v: swa_joint_attention(
+        q, k, v, text_len=ST, num_frames=GF, height=GH, width=GW)), q, k, v)
+    print(f"swa_joint (full: 6-dir local + cross): {t*1e3:8.2f} ms", flush=True)
+
+    qv = q[:, :, ST:]
+    kv = k[:, :, ST:]
+    vv = v[:, :, ST:]
+    window = GH * GW
+    for case in args.sweep.split(";"):
+        bq, bkv, inner = (int(x) for x in case.split(","))
+        try:
+            t = timed(jax.jit(lambda q, k, v: sliding_window_attention(
+                q, k, v, window=window, block_q=bq, block_kv=bkv,
+                block_kv_inner=inner)), qv, kv, vv)
+            print(f"local bq={bq:5d} bkv={bkv:4d} inner={inner:4d}: "
+                  f"{t*1e3:8.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"local bq={bq:5d} bkv={bkv:4d} inner={inner:4d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:100]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

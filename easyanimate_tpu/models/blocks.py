@@ -21,7 +21,7 @@ import numpy as np
 from ..ops.attention import dispatch_attention
 from ..ops.norms import fp32_layer_norm
 from ..ops.rope import apply_rotary_emb_split, deinterleave_perm
-from ..ops.swa import swa_joint_attention
+from ..ops.swa import swa_attention_streams
 
 
 class LayerNormZero(nn.Module):
@@ -178,17 +178,23 @@ class MMDiTBlock(nn.Module):
             qv = apply_rotary_emb_split(qv, cos[:, ::2], sin[:, ::2])
             kv = apply_rotary_emb_split(kv, cos[:, ::2], sin[:, ::2])
 
-        q = jnp.concatenate([qt, qv], axis=2)
-        k = jnp.concatenate([kt, kv], axis=2)
-        v = jnp.concatenate([vt, vv], axis=2)
+        merge = lambda a: a.transpose(0, 2, 1, 3).reshape(
+            a.shape[0], a.shape[2], self.num_heads * self.head_dim)
         if self.is_swa:
+            # stream-separate SWA: skips the full-sequence q/k/v concats
+            # and the output re-split the joint form would pay per layer
             gf, gh, gw = grid_size
-            o = swa_joint_attention(q, k, v, text_len=st, num_frames=gf,
-                                    height=gh, width=gw, impl=self.attn_impl)
+            o_t, o_v = swa_attention_streams(
+                qt, kt, vt, qv, kv, vv, num_frames=gf, height=gh, width=gw,
+                impl=self.attn_impl)
+            o_txt, o_vid = merge(o_t), merge(o_v)
         else:
+            q = jnp.concatenate([qt, qv], axis=2)
+            k = jnp.concatenate([kt, kv], axis=2)
+            v = jnp.concatenate([vt, vv], axis=2)
             o = dispatch_attention(q, k, v, impl=self.attn_impl)
-        o = o.transpose(0, 2, 1, 3).reshape(b, st + sv, self.num_heads * self.head_dim)
-        o_txt, o_vid = o[:, :st], o[:, st:]
+            o = merge(o)
+            o_txt, o_vid = o[:, :st], o[:, st:]
 
         out_proj = nn.Dense(self.dim, dtype=self.dtype, name="attn1_out")
         o_vid = out_proj(o_vid)

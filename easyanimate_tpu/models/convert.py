@@ -126,11 +126,10 @@ def convert_mmdit_state_dict(sd: Dict[str, np.ndarray], cfg: MMDiTConfig):
             flat[dst] = fn(sd[src]) if fn else np.asarray(sd[src])
             consumed.add(src)
 
-    homogeneous = cfg.mmdit_layers >= cfg.num_layers and not cfg.swa_layers
-    if cfg.scan_layers and homogeneous:
-        # stack per-layer weights along a leading axis
+    def stack_layers(first, count, prefix):
+        """Stack transformer_blocks.[first, first+count) under prefix."""
         per_key: Dict[str, list] = {}
-        for i in range(cfg.num_layers):
+        for i in range(first, first + count):
             mapping = _block_mapping(f"transformer_blocks.{i}.")
             for src, (dst, fn) in mapping.items():
                 if src in sd:
@@ -138,15 +137,31 @@ def convert_mmdit_state_dict(sd: Dict[str, np.ndarray], cfg: MMDiTConfig):
                         fn(sd[src]) if fn else np.asarray(sd[src]))
                     consumed.add(src)
         for dst, stack in per_key.items():
-            assert len(stack) == cfg.num_layers, (dst, len(stack))
-            flat[f"blocks/block/{dst}"] = np.stack(stack)
+            assert len(stack) == count, (dst, len(stack))
+            flat[f"{prefix}/{dst}"] = np.stack(stack)
+
+    def copy_layer(i, prefix):
+        mapping = _block_mapping(f"transformer_blocks.{i}.")
+        for src, (dst, fn) in mapping.items():
+            if src in sd:
+                flat[f"{prefix}/{dst}"] = fn(sd[src]) if fn \
+                    else np.asarray(sd[src])
+                consumed.add(src)
+
+    if cfg.scan_layers and cfg.homogeneous:
+        stack_layers(0, cfg.num_layers, "blocks/block")
+    elif cfg.scan_layers:
+        # segmented scan stacks (heterogeneous layer runs, models/mmdit.py)
+        layer = 0
+        for k, (_, _, count) in enumerate(cfg.segments()):
+            if count > 1:
+                stack_layers(layer, count, f"blocks_seg{k}/block")
+            else:
+                copy_layer(layer, f"block{layer}")
+            layer += count
     else:
         for i in range(cfg.num_layers):
-            mapping = _block_mapping(f"transformer_blocks.{i}.")
-            for src, (dst, fn) in mapping.items():
-                if src in sd:
-                    flat[f"block{i}/{dst}"] = fn(sd[src]) if fn else np.asarray(sd[src])
-                    consumed.add(src)
+            copy_layer(i, f"block{i}")
 
     leftover = set(sd) - consumed
     if leftover:

@@ -82,6 +82,21 @@ class MMDiTConfig:
     def homogeneous(self) -> bool:
         return self.mmdit_layers >= self.num_layers and not self.swa_layers
 
+    def segments(self):
+        """Runs of identical consecutive layers [(is_mmdit, is_swa, count)].
+        Each multi-layer run compiles as ONE nn.scan body, so e.g. the V5.1
+        SWA variant (dense layer 0 + 47 windowed layers) costs two block
+        compilations instead of 48."""
+        swa = set(self.swa_layers or ())
+        runs = []
+        for i in range(self.num_layers):
+            key = (i < self.mmdit_layers, i in swa)
+            if runs and runs[-1][0] == key:
+                runs[-1][1] += 1
+            else:
+                runs.append([key, 1])
+        return [(m, s, c) for (m, s), c in runs]
+
 
 PRESETS: Dict[str, MMDiTConfig] = {
     # Flagship: ~11.8B dual-stream parameters (marketing "12B").
@@ -98,16 +113,19 @@ PRESETS: Dict[str, MMDiTConfig] = {
 
 
 class _ScanBlock(nn.Module):
-    """Carry-signature adapter so the homogeneous block stack compiles as a
-    single nn.scan layer body (one compilation for all num_layers)."""
+    """Carry-signature adapter so a run of identical blocks compiles as a
+    single nn.scan layer body (one compilation per segment)."""
 
     block_kwargs: Any
+    is_mmdit: bool = True
+    is_swa: bool = False
 
     @nn.compact
-    def __call__(self, carry, temb, rope):
+    def __call__(self, carry, temb, rope, grid_size):
         vid, txt = carry
-        vid, txt = MMDiTBlock(**self.block_kwargs, is_mmdit=True,
-                              name="block")(vid, txt, temb, rope)
+        vid, txt = MMDiTBlock(**self.block_kwargs, is_mmdit=self.is_mmdit,
+                              is_swa=self.is_swa, name="block")(
+            vid, txt, temb, rope, grid_size)
         return (vid, txt), None
 
 
@@ -141,17 +159,43 @@ class EasyAnimateTransformer3D(nn.Module):
             after_norm=cfg.after_norm, norm_eps=cfg.norm_eps,
             attn_impl=cfg.attn_impl, dtype=dt,
         )
-        if cfg.scan_layers and cfg.homogeneous:
-            block_cls = _ScanBlock
-            if cfg.remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
-            self.blocks = nn.scan(
+        block_cls = _ScanBlock
+        if cfg.remat:
+            # grid_size (arg 4 incl. self) is a static tuple -- SWA kernels
+            # need concrete grid dims
+            block_cls = nn.remat(block_cls, prevent_cse=False,
+                                 static_argnums=(4,))
+
+        def make_scan(count, is_mmdit, is_swa, name):
+            return nn.scan(
                 block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast),
-                length=cfg.num_layers,
-            )(block_kwargs=block_kwargs)
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=count,
+            )(block_kwargs=block_kwargs, is_mmdit=is_mmdit, is_swa=is_swa,
+              name=name)
+
+        if cfg.scan_layers and cfg.homogeneous:
+            self.blocks = make_scan(cfg.num_layers, True, False, "blocks")
+        elif cfg.scan_layers:
+            # heterogeneous stacks (e.g. the SWA variant: 1 dense + 47
+            # windowed layers) compile one scan body PER RUN of identical
+            # layers instead of one body per layer
+            mods, scanned = [], []
+            layer = 0
+            for k, (is_mmdit, is_swa, count) in enumerate(cfg.segments()):
+                if count > 1:
+                    mods.append(make_scan(count, is_mmdit, is_swa,
+                                          f"blocks_seg{k}"))
+                else:
+                    mods.append(MMDiTBlock(
+                        **block_kwargs, is_mmdit=is_mmdit, is_swa=is_swa,
+                        name=f"block{layer}"))
+                scanned.append(count > 1)
+                layer += count
+            self.seg_blocks = mods
+            self.seg_scanned = scanned
         else:
             swa = set(cfg.swa_layers or ())
             self.loop_blocks = [
@@ -227,7 +271,19 @@ class EasyAnimateTransformer3D(nn.Module):
         for proj_out; `backbone(...) - vid` is the TeaCache residual."""
         cfg = self.cfg
         if cfg.scan_layers and cfg.homogeneous:
-            (vid2, txt2), _ = self.blocks((vid, txt), temb, rope)
+            (vid2, txt2), _ = self.blocks((vid, txt), temb, rope, grid_size)
+        elif cfg.scan_layers:
+            vid2, txt2 = vid, txt
+            for mod, is_scan in zip(self.seg_blocks, self.seg_scanned):
+                if is_scan:
+                    (vid2, txt2), _ = mod((vid2, txt2), temb, rope, grid_size)
+                elif cfg.remat:
+                    vid2, txt2 = nn.remat(
+                        lambda m, *a: m(*a), prevent_cse=False,
+                        static_argnums=(5,)
+                    )(mod, vid2, txt2, temb, rope, grid_size)
+                else:
+                    vid2, txt2 = mod(vid2, txt2, temb, rope, grid_size)
         else:
             vid2, txt2 = vid, txt
             for block in self.loop_blocks:
@@ -260,11 +316,15 @@ class EasyAnimateTransformer3D(nn.Module):
         """Block-0 norm1 modulation of the video stream -- the TeaCache skip
         signal (reference transformer3d.py:1563-1590)."""
         cfg = self.cfg
+        params = self.variables["params"]
         if cfg.scan_layers and cfg.homogeneous:
-            p = self.variables["params"]["blocks"]["block"]
+            p = params["blocks"]["block"]
+            sl = lambda x: x[0]
+        elif cfg.scan_layers and cfg.segments()[0][2] > 1:
+            p = params["blocks_seg0"]["block"]
             sl = lambda x: x[0]
         else:
-            p = self.variables["params"]["block0"]
+            p = params["block0"]
             sl = lambda x: x
         n1 = p["norm1"]
         mods = (nn.silu(temb) @ sl(n1["linear"]["kernel"]).astype(temb.dtype)

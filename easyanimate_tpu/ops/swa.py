@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import DEFAULT_MASK_VALUE, MIN_LANES, _lane_broadcast
+from .flash_attention import (DEFAULT_MASK_VALUE, LOG2E, MIN_LANES,
+                              _lane_broadcast)
 
 
 def _swa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
@@ -48,17 +49,23 @@ def _swa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+        # band + bounds mask with unsigned compares: col in [0, kv_len)
+        # is one uint compare (negatives wrap to huge), and
+        # |row-col| <= window is (row-col+window) uint<= 2*window
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + virt + start
-        ok = (col >= 0) & (col < kv_len) & (jnp.abs(row - col) <= window)
-        s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
+        in_seq = col.astype(jnp.uint32) < jnp.uint32(kv_len)
+        in_win = ((row - col + window).astype(jnp.uint32)
+                  <= jnp.uint32(2 * window))
+        s = jnp.where(in_seq & in_win, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
         m_curr = jnp.max(s, axis=1)[:, None]
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
+        # base-2 softmax: sm_scale*log2e is folded into q by the wrapper
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - _lane_broadcast(m_next, s.shape[1]))
         # fully-masked tiles: p rows are exp(MASK - m) ~ 0; harmless
         l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[:] = m_next
@@ -81,7 +88,7 @@ def sliding_window_attention(
     sm_scale: Optional[float] = None,
     block_q: int = 1024,
     block_kv: int = 512,
-    block_kv_inner: int = 256,
+    block_kv_inner: int = 512,  # v5e sweep at 13k tokens, window 1008
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Bidirectional +-window attention over [B, H, S, D] (inference path)."""
@@ -96,7 +103,7 @@ def sliding_window_attention(
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    qf = (q * sm_scale).astype(q.dtype).reshape(b * h, sp, d)
+    qf = (q * (sm_scale * LOG2E)).astype(q.dtype).reshape(b * h, sp, d)
     kf = k.reshape(b * h, sp, d)
     vf = v.reshape(b * h, sp, d)
 
@@ -190,45 +197,52 @@ def _permute_tokens(x, f, h, w, order, inverse=False):
     return grid.reshape(b, nh, s, d)
 
 
-def swa_joint_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+def swa_attention_streams(
+    q_txt, k_txt, v_txt, q_vid, k_vid, v_vid,
     *,
-    text_len: int,
     num_frames: int, height: int, width: int,
     cross_attention_size: int = 1024,
     impl: str = "auto",
-) -> jnp.ndarray:
-    """SWA over joint (text, video) tokens [B, H, S, D] -> same shape.
+):
+    """SWA over SEPARATE (text, video) streams [B, H, St|Sv, D] ->
+    (out_text, out_vid). Avoids the 3 full-sequence q/k/v concats (and the
+    output re-split) the joint form pays per layer.
 
     window = height*width (one frame of tokens) in each of 6 axis orders,
     head groups split evenly; plus the strided global cross pass.
     """
-    b, nh, s, d = q.shape
+    b, nh, st, d = q_txt.shape
+    sv = q_vid.shape[2]
+    s = st + sv
     interpret = impl == "pallas_interpret" or (
         impl == "auto" and jax.default_backend() != "tpu")
     window = height * width
 
-    # global cross pass: all queries vs text + strided video kv
-    interval = max((s - text_len) // max(cross_attention_size - text_len, 1), 1)
-    ck = jnp.concatenate([k[:, :, :text_len], k[:, :, text_len::interval]], axis=2)
-    cv = jnp.concatenate([v[:, :, :text_len], v[:, :, text_len::interval]], axis=2)
+    # global cross pass: all queries vs text + strided video kv (tiny)
+    interval = max(sv // max(cross_attention_size - st, 1), 1)
+    ck = jnp.concatenate([k_txt, k_vid[:, :, ::interval]], axis=2)
+    cv = jnp.concatenate([v_txt, v_vid[:, :, ::interval]], axis=2)
     from .attention import attention as dense_attention
 
-    cross = dense_attention(q, ck, cv,
-                            impl="xla" if interpret else "pallas")
+    # kv here is only ~cross_attention_size tokens; the default 2048 kv
+    # block would pad it by ~60% -- use a 256 block (zero/low padding)
+    dense = lambda q_: dense_attention(q_, ck, cv,
+                                       impl="xla" if interpret else "pallas",
+                                       block_kv=256, block_kv_inner=256)
+    cross_txt = dense(q_txt)
+    cross_vid = dense(q_vid)
 
     # local 6-direction pass over video tokens only; all head groups share
     # the same window so their permuted tokens batch into ONE kernel call
-    qv, kv_, vv = (a[:, :, text_len:] for a in (q, k, v))
     groups = 6
     gh = nh // groups
     slices = [slice(g * gh, (g + 1) * gh) for g in range(groups - 1)]
     slices.append(slice((groups - 1) * gh, nh))
     perm = lambda a, sl, order: _permute_tokens(
         a[:, sl], num_frames, height, width, order)
-    qq = jnp.concatenate([perm(qv, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
-    kk = jnp.concatenate([perm(kv_, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
-    vvv = jnp.concatenate([perm(vv, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+    qq = jnp.concatenate([perm(q_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+    kk = jnp.concatenate([perm(k_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+    vvv = jnp.concatenate([perm(v_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
     if interpret or jax.default_backend() != "tpu":
         oo = swa_reference(qq, kk, vvv, window)
     else:
@@ -243,6 +257,22 @@ def swa_joint_attention(
     local = jnp.concatenate(outs, axis=1)
 
     # reference combination: video = local + cross_video; text = 2x cross_text
-    out_text = cross[:, :, :text_len] * 2.0
-    out_vid = local + cross[:, :, text_len:]
+    return cross_txt * 2.0, local + cross_vid
+
+
+def swa_joint_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    *,
+    text_len: int,
+    num_frames: int, height: int, width: int,
+    cross_attention_size: int = 1024,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """SWA over joint (text, video) tokens [B, H, S, D] -> same shape.
+    Concat-input wrapper over swa_attention_streams."""
+    out_text, out_vid = swa_attention_streams(
+        q[:, :, :text_len], k[:, :, :text_len], v[:, :, :text_len],
+        q[:, :, text_len:], k[:, :, text_len:], v[:, :, text_len:],
+        num_frames=num_frames, height=height, width=width,
+        cross_attention_size=cross_attention_size, impl=impl)
     return jnp.concatenate([out_text, out_vid], axis=2)

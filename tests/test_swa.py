@@ -65,3 +65,46 @@ def test_mmdit_with_swa_layers(rng):
         jnp.array([3.0]), txt, None)
     assert out.shape == (1, 4, 3, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_segmented_scan_matches_loop(rng):
+    """Heterogeneous stacks (SWA variant) compile as per-run nn.scan
+    segments; outputs must equal the unscanned loop path on the same
+    checkpoint (compile-time optimization only)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from easyanimate_tpu.models.convert import convert_mmdit_state_dict
+    from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
+    from easyanimate_tpu.pipeline.t2v import build_rope
+    from tests.test_convert import _synth_mmdit_sd
+
+    base = dataclasses.replace(PRESETS["tiny"], num_layers=4,
+                               swa_layers=(1, 2, 3))
+    assert base.segments() == [(True, False, 1), (True, True, 3)]
+    sd = _synth_mmdit_sd(base, rng)
+
+    lat = jnp.zeros((1, base.in_channels, 2, 16, 16))
+    ts = jnp.array([500.0])
+    txt = jnp.asarray(rng.standard_normal((1, 6, base.text_embed_dim)),
+                      jnp.float32)
+    rope = build_rope(base, 128, 128, 2)
+
+    outs = {}
+    for scan in (True, False):
+        cfg = dataclasses.replace(base, scan_layers=scan)
+        model = EasyAnimateTransformer3D(cfg)
+        params = convert_mmdit_state_dict(sd, cfg)
+        outs[scan] = np.asarray(model.apply(params, lat, ts, txt, rope))
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-5, rtol=2e-5)
+
+    # TeaCache's block-0 modulation reads the right segment params
+    cfg = dataclasses.replace(base, scan_layers=True)
+    model = EasyAnimateTransformer3D(cfg)
+    params = convert_mmdit_state_dict(sd, cfg)
+    vid = jnp.asarray(rng.standard_normal((1, 8, base.inner_dim)), jnp.float32)
+    temb = jnp.asarray(rng.standard_normal((1, base.inner_dim)), jnp.float32)
+    mod = model.apply(params, vid, None, temb, method="modulated_input")
+    assert np.isfinite(np.asarray(mod)).all()
