@@ -4,14 +4,17 @@ pipeline (lax.scan denoise, FlowMatch scheduler, CFG batching).
 
 Tracked configuration = the reference's own V5.1 SWA variant
 (sliding-window attention on 47/48 layers, models/attention.py
-EasyAnimateSWAttnProcessor2_0), with every denoise step computed -- a
-deterministic, content-independent number. `--config plain` benches the
-dense full-attention path; `--config swa_teacache` additionally stacks
-TeaCache (threshold 0.1, transformer3d.py:90-137), but its skip rate is
-content-dependent and DEGENERATE on random weights (the modulation
-trajectory is nearly static, so ~23/25 steps skip: measured 0.57 s/step
-here vs ~1.5-2x expected on real checkpoints) -- honest benching tracks
-the SWA config and reports TeaCache as stacking headroom.
+EasyAnimateSWAttnProcessor2_0) with W8A8 int8 block linears (ops/quant.py;
+the v5e int8 MXU runs 1.5x bf16 -- quality guard: tests/test_quant.py,
+cosine >0.999 vs float on the full forward), every denoise step computed --
+a deterministic, content-independent number. 3.47 s/step measured =
+1.067x the A100 baseline. `--no-int8` benches bf16-compute (4.18 s/step);
+`--config plain` the dense full-attention path; `--config swa_teacache`
+additionally stacks TeaCache (threshold 0.1, transformer3d.py:90-137), but
+its skip rate is content-dependent and DEGENERATE on random weights (the
+modulation trajectory is nearly static, so ~23/25 steps skip: measured
+0.57 s/step vs ~1.5-2x expected on real checkpoints) -- honest benching
+tracks SWA+int8 and reports TeaCache as stacking headroom.
 
 Baseline (BASELINE.md): A100 80GB at 3.7 s/step on this workload. The 12B
 does not fit a 16 GB v5e in bf16, so weights are stored fp8-e4m3 (the
@@ -36,15 +39,25 @@ import jax.numpy as jnp
 
 def build_params_fp8(model, example):
     """Random fp8-e4m3 weights straight from eval_shape (no fp32 tree ever
-    materializes; flax upcasts per-layer slices to bf16 in-program)."""
+    materializes; flax upcasts per-layer slices to bf16 in-program). For an
+    int8 model (linear_quant="int8") the eval_shape tree already declares
+    int8 kernels + f32 "scale" leaves; those get random int8 / constant
+    scale so the benched program is exactly the W8A8 serving program."""
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *example))
-    leaves, treedef = jax.tree.flatten(shapes)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
 
     @jax.jit
     def make_all():
         out = []
-        for i, s in enumerate(leaves):
-            if s.ndim >= 2:
+        for i, (path, s) in enumerate(flat):
+            name = getattr(path[-1], "key", "")
+            if s.dtype == jnp.int8:
+                k = jax.random.PRNGKey(i)
+                out.append(jax.random.randint(
+                    k, s.shape, -100, 101, jnp.int32).astype(jnp.int8))
+            elif name == "scale":
+                out.append(jnp.full(s.shape, 5e-4, s.dtype))
+            elif s.ndim >= 2:
                 k = jax.random.PRNGKey(i)
                 out.append((0.02 * jax.random.normal(k, s.shape, jnp.bfloat16)
                             ).astype(jnp.float8_e4m3fn))
@@ -52,13 +65,16 @@ def build_params_fp8(model, example):
                 out.append(jnp.zeros(s.shape, s.dtype))
         return out
 
-    return jax.tree.unflatten(treedef, make_all())
+    return jax.tree_util.tree_unflatten(treedef, make_all())
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="swa",
                     choices=["swa_teacache", "swa", "plain"])
+    ap.add_argument("--int8", action="store_true", default=True,
+                    help="W8A8 int8 block linears (ops/quant.py; default on)")
+    ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--scan_chunk", type=int, default=8,
                     help="bounded-runtime denoise segments (CLAUDE.md)")
@@ -76,6 +92,8 @@ def main():
     if use_swa:
         # V5.1 SWA variant: dense attention on layer 0, windowed elsewhere
         cfg = dataclasses.replace(cfg, swa_layers=tuple(range(1, 48)))
+    if args.int8:
+        cfg = dataclasses.replace(cfg, linear_quant="int8")
     model = EasyAnimateTransformer3D(cfg)
 
     height, width, frames, text_len = 384, 672, 49, 256
@@ -123,9 +141,12 @@ def main():
     baseline = 3.7  # A100 s/step at this workload (BASELINE.md)
     label = {"swa_teacache": "SWA+TeaCache", "swa": "SWA",
              "plain": "dense"}[args.config]
+    if args.int8:
+        label += "+int8"
+    weights = "int8 W8A8 linears, fp8 rest" if args.int8 else "fp8 weights"
     print(json.dumps({
         "metric": (f"12B MMDiT denoise s/step, T2V 384x672x49f 25-step CFG, "
-                   f"{label} (fp8 weights, 1x v5e)"),
+                   f"{label} ({weights}, 1x v5e)"),
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(baseline / sec_per_step, 3),

@@ -14,6 +14,7 @@ Parity targets:
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 import numpy as np
@@ -53,18 +54,45 @@ class PermutedDense(nn.Module):
     """nn.Dense with a static output-column permutation folded into the
     kernel/bias at apply time. Parameter names/shapes are identical to
     nn.Dense, so checkpoints stay in the reference feature order; the
-    permuted weight is a tiny gather consumed by the matmul."""
+    permuted weight is a tiny gather consumed by the matmul.
+
+    quant="int8" switches to W8A8: an int8 kernel + per-out-channel f32
+    "scale" param, per-token dynamic activation quantization, int8 MXU
+    matmul (~1.5x bf16 throughput on v5e; ops/quant.py)."""
 
     features: int
     perm: Any = None  # np.ndarray of output-feature indices
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        if self.quant == "int8":
+            from ..ops.quant import int8_matmul
+
+            fan_in = x.shape[-1]
+
+            def kinit(key, shape, dtype=jnp.int8):
+                return jnp.round(jnp.clip(
+                    jax.random.normal(key, shape) * 42.0, -127, 127)
+                ).astype(jnp.int8)
+
+            kernel = self.param("kernel", kinit,
+                                (fan_in, self.features))
+            scale = self.param(
+                "scale",
+                lambda key, shape: jnp.full(
+                    shape, (fan_in ** -0.5) / 42.0, jnp.float32),
+                (self.features,))
+            if self.perm is not None:
+                kernel = kernel[:, self.perm]
+                scale = scale[self.perm]
+                bias = bias[self.perm]
+            return int8_matmul(x, kernel, scale, bias, self.dtype)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
         if self.perm is not None:
             kernel = kernel[:, self.perm]
             bias = bias[self.perm]
@@ -86,6 +114,7 @@ class StreamQKV(nn.Module):
     head_dim: int
     qk_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -95,9 +124,12 @@ class StreamQKV(nn.Module):
         perm = np.concatenate(
             [h * self.head_dim + perm64 for h in range(self.num_heads)])
         heads = lambda a: a.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
-        q = heads(PermutedDense(inner, perm, dtype=self.dtype, name="to_q")(x))
-        k = heads(PermutedDense(inner, perm, dtype=self.dtype, name="to_k")(x))
-        v = heads(nn.Dense(inner, dtype=self.dtype, name="to_v")(x))
+        q = heads(PermutedDense(inner, perm, dtype=self.dtype,
+                                quant=self.quant, name="to_q")(x))
+        k = heads(PermutedDense(inner, perm, dtype=self.dtype,
+                                quant=self.quant, name="to_k")(x))
+        v = heads(PermutedDense(inner, dtype=self.dtype, quant=self.quant,
+                                name="to_v")(x))
         if self.qk_norm:
             qw = self.param("norm_q_scale", nn.initializers.ones, (self.head_dim,), jnp.float32)
             qb = self.param("norm_q_bias", nn.initializers.zeros, (self.head_dim,), jnp.float32)
@@ -114,12 +146,15 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim * self.mult, dtype=self.dtype, name="wi")(x)
+        h = PermutedDense(self.dim * self.mult, dtype=self.dtype,
+                          quant=self.quant, name="wi")(x)
         h = nn.gelu(h, approximate=True)
-        return nn.Dense(self.dim, dtype=self.dtype, name="wo")(h)
+        return PermutedDense(self.dim, dtype=self.dtype, quant=self.quant,
+                             name="wo")(h)
 
 
 class MMDiTBlock(nn.Module):
@@ -140,6 +175,7 @@ class MMDiTBlock(nn.Module):
     norm_eps: float = 1e-6
     attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None  # None | "int8" (W8A8 block linears)
 
     @nn.compact
     def __call__(self, vid, txt, temb, rope: Optional[Tuple] = None,
@@ -158,10 +194,11 @@ class MMDiTBlock(nn.Module):
         )(vid, txt, temb)
 
         vid_qkv = StreamQKV(self.num_heads, self.head_dim, self.qk_norm,
-                            dtype=self.dtype, name="attn1")
+                            dtype=self.dtype, quant=self.quant, name="attn1")
         if self.is_mmdit:
             txt_qkv = StreamQKV(self.num_heads, self.head_dim, self.qk_norm,
-                                dtype=self.dtype, name="attn2")
+                                dtype=self.dtype, quant=self.quant,
+                                name="attn2")
             qv, kv, vv = vid_qkv(n_vid)
             qt, kt, vt = txt_qkv(n_txt)
         else:
@@ -196,10 +233,12 @@ class MMDiTBlock(nn.Module):
             o = merge(o)
             o_txt, o_vid = o[:, :st], o[:, st:]
 
-        out_proj = nn.Dense(self.dim, dtype=self.dtype, name="attn1_out")
+        out_proj = PermutedDense(self.dim, dtype=self.dtype,
+                                 quant=self.quant, name="attn1_out")
         o_vid = out_proj(o_vid)
         if self.is_mmdit:
-            o_txt = nn.Dense(self.dim, dtype=self.dtype, name="attn2_out")(o_txt)
+            o_txt = PermutedDense(self.dim, dtype=self.dtype,
+                                  quant=self.quant, name="attn2_out")(o_txt)
         else:
             o_txt = out_proj(o_txt)  # shared projection, same as proj(concat)
 
@@ -210,10 +249,12 @@ class MMDiTBlock(nn.Module):
             self.dim, self.norm_eps, dtype=self.dtype, name="norm2"
         )(vid, txt, temb)
 
-        ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
+        ff = FeedForward(self.dim, dtype=self.dtype, quant=self.quant,
+                         name="ff")
         f_vid = ff(n_vid)
         if self.is_mmdit:
-            f_txt = FeedForward(self.dim, dtype=self.dtype, name="txt_ff")(n_txt)
+            f_txt = FeedForward(self.dim, dtype=self.dtype, quant=self.quant,
+                                name="txt_ff")(n_txt)
         else:
             f_txt = ff(n_txt)
 
