@@ -78,6 +78,20 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def do_GET(self):
+        """Serve the browser front end (ui/web.py) at /."""
+        if self.path in ("/", "/index.html"):
+            from ..ui.web import INDEX_HTML
+
+            body = INDEX_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self._reply(404, {"message": f"unknown path {self.path}"})
+
     def do_POST(self):
         try:
             n = int(self.headers.get("Content-Length", 0))
@@ -90,6 +104,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(200, {"message": "Success"})
             elif self.path == "/easyanimate/update_edition":
                 self.controller.update_edition(payload["edition"])
+                self._reply(200, {"message": "Success"})
+            elif self.path == "/easyanimate/update_lora":
+                self.controller.update_lora(
+                    payload.get("lora_model_path"),
+                    float(payload.get("lora_alpha_slider", 1.0)))
                 self._reply(200, {"message": "Success"})
             else:
                 self._reply(404, {"message": f"unknown path {self.path}"})

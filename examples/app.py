@@ -1,10 +1,12 @@
 """Serving entry point (reference app.py equivalent).
 
 The reference launches a gradio UI plus an HTTP API; gradio isn't in this
-image, so this serves the same /easyanimate/infer_forward +
+image, so this serves a dependency-free browser UI (ui/web.py, open
+http://host:port/) on top of the same /easyanimate/infer_forward +
 /easyanimate/update_diffusion_transformer protocol over the stdlib HTTP
-server (api/api.py parity). Point the reference's client
-(api/post_infer.py, mirrored in easyanimate_tpu/api/client.py) at it.
+server (api/api.py + ui/ui.py parity). The reference's client
+(api/post_infer.py, mirrored in easyanimate_tpu/api/client.py) also works
+against it unchanged.
 
   python examples/app.py --model_path models/EasyAnimateV5.1-12b-zh \
       --server_port 7860
@@ -41,7 +43,7 @@ def main():
 
     server = EasyAnimateAPIServer(controller)
     print(f"serving on http://0.0.0.0:{args.server_port} "
-          "(POST /easyanimate/infer_forward)")
+          "(browser UI at /, POST /easyanimate/infer_forward)")
     server.serve(port=args.server_port)
 
 

@@ -156,6 +156,40 @@ def test_prompt_through_server_with_text_encoder():
         server.shutdown()
 
 
+def test_web_ui_served_and_lora_endpoint():
+    """GET / returns the browser app; POST /update_lora hits the controller."""
+
+    class Ctl(_FakeController):
+        def update_lora(self, path, scale):
+            self.lora = (path, scale)
+
+    ctl = Ctl()
+    srv = EasyAnimateAPIServer(ctl)
+    srv.serve(port=8767, background=True)
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:8767/", timeout=30) as r:
+            page = r.read().decode()
+            assert r.headers["Content-Type"].startswith("text/html")
+        # the app drives the same endpoints as post_infer
+        for needle in ("infer_forward", "update_diffusion_transformer",
+                       "update_edition", "update_lora", "prompt_textbox",
+                       "base64_encoding"):
+            assert needle in page, needle
+        req = urllib.request.Request(
+            "http://127.0.0.1:8767/easyanimate/update_lora",
+            data=json.dumps({"lora_model_path": "/x.safetensors",
+                             "lora_alpha_slider": 0.55}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["message"] == "Success"
+        assert ctl.lora == ("/x.safetensors", 0.55)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen("http://127.0.0.1:8767/nope", timeout=30)
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
+
+
 def test_update_edition_switches_config():
     pipe, _ = _tiny_inpaint_pipe()
     ctl = EasyAnimateController(pipeline=pipe)
