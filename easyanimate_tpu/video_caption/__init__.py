@@ -5,6 +5,12 @@ from .filters import (
     compute_text_score,
 )
 from .pipeline import run_preprocessing
+from .videoclip_xl import (
+    SimpleBPETokenizer,
+    VideoCLIPXL,
+    convert_videoclip_xl_state_dict,
+    videoclip_xl_score_fn,
+)
 
 __all__ = [
     "compute_motion_score",
@@ -13,4 +19,8 @@ __all__ = [
     "detect_cutscenes",
     "run_preprocessing",
     "split_video",
+    "SimpleBPETokenizer",
+    "VideoCLIPXL",
+    "convert_videoclip_xl_state_dict",
+    "videoclip_xl_score_fn",
 ]
