@@ -87,3 +87,20 @@ def ddpm_sample_timesteps(rng: jax.Array, batch: int, num_train: int = 1000,
         off = jax.random.randint(rng, (batch,), 0, width)
         return band * width + off
     return jax.random.randint(rng, (batch,), 0, num_train)
+
+
+def motion_sub_mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """MSE between temporal deltas of pred and target over the frame axis
+    (latents are (B, C, T, H, W); train.py:2078-2081)."""
+    dp = pred.astype(jnp.float32)[:, :, 1:] - pred.astype(jnp.float32)[:, :, :-1]
+    dt = (target.astype(jnp.float32)[:, :, 1:]
+          - target.astype(jnp.float32)[:, :, :-1])
+    return jnp.mean(jnp.square(dp - dt))
+
+
+def with_motion_sub_loss(loss, pred, target, ratio: float):
+    """loss*(1-r) + motion_sub_mse*r, active only when T > 2
+    (train.py:2078-2082)."""
+    if pred.ndim < 5 or pred.shape[2] <= 2:
+        return loss
+    return loss * (1.0 - ratio) + motion_sub_mse(pred, target) * ratio

@@ -81,6 +81,9 @@ class TrainConfig:
     adaptive_grad_clip: bool = False
     initial_grad_norm_ratio: float = 5.0
     abnormal_norm_clip_start: int = 1000
+    # motion sub-loss on temporal deltas (train.py:704-707, 2078-2082)
+    motion_sub_loss: bool = False
+    motion_sub_loss_ratio: float = 0.25
 
 
 # -- schedules ---------------------------------------------------------------
@@ -308,6 +311,11 @@ def make_train_step(
             pred = apply_model(params, noisy, timesteps, batch)
             loss = masked_mse_loss(pred, target,
                                    cfg.loss.loss_outlier_threshold)
+            if cfg.motion_sub_loss:
+                from .losses import with_motion_sub_loss
+
+                loss = with_motion_sub_loss(loss, pred, target,
+                                            cfg.motion_sub_loss_ratio)
             return loss, {"loss": loss, "mean_sigma": jnp.mean(sigmas)}
         # DDPM-family: uniform/banded integer timesteps
         from .losses import ddpm_sample_timesteps

@@ -48,6 +48,9 @@ def parse_args():
     ap.add_argument("--abnormal_norm_clip_start", type=int, default=1000)
     ap.add_argument("--optimizer", default="adamw",
                     choices=["adamw", "came", "adamw8bit"])
+    ap.add_argument("--motion_sub_loss", action="store_true",
+                    help="temporal-delta sub-loss (ref train.py:2078-2082)")
+    ap.add_argument("--motion_sub_loss_ratio", type=float, default=0.25)
     ap.add_argument("--lr_scheduler", default="constant",
                     choices=["constant", "linear", "cosine"])
     ap.add_argument("--lr_warmup_steps", type=int, default=0)
@@ -194,6 +197,8 @@ def main():
         trainable_modules=args.trainable_modules,
         trainable_modules_low_lr=tuple(args.trainable_modules_low_lr),
         use_ema=args.use_ema, loss_type=args.loss_type,
+        motion_sub_loss=args.motion_sub_loss,
+        motion_sub_loss_ratio=args.motion_sub_loss_ratio,
         loss=FlowMatchLossConfig(uniform_bands=args.uniform_sampling_bands))
     if args.lora_rank > 0:
         from easyanimate_tpu.training.lora import (LoRAConfig,

@@ -226,3 +226,52 @@ class TestZeroSpecInheritance:
                          is_leaf=lambda x: isinstance(x, P)),
             is_leaf=lambda x: isinstance(x, P))]
         assert any(x == P("tp") for x in adam_state)
+
+
+class TestMotionSubLoss:
+    def test_formula_and_gating(self):
+        import numpy as np
+
+        from easyanimate_tpu.training.losses import (
+            motion_sub_mse,
+            with_motion_sub_loss,
+        )
+
+        rng = np.random.default_rng(0)
+        pred = jnp.asarray(rng.standard_normal((2, 4, 5, 3, 3)), jnp.float32)
+        target = jnp.asarray(rng.standard_normal((2, 4, 5, 3, 3)),
+                             jnp.float32)
+        base = jnp.float32(1.0)
+        out = with_motion_sub_loss(base, pred, target, 0.25)
+        dp = np.diff(np.asarray(pred), axis=2)
+        dt = np.diff(np.asarray(target), axis=2)
+        want = 1.0 * 0.75 + np.mean((dp - dt) ** 2) * 0.25
+        np.testing.assert_allclose(float(out), want, rtol=1e-5)
+        # reference gating: inactive at T <= 2 (train.py:2078)
+        short = pred[:, :, :2]
+        assert float(with_motion_sub_loss(base, short, short, 0.25)) == 1.0
+        assert float(motion_sub_mse(pred, pred)) == 0.0
+
+    def test_train_step_runs_with_motion_loss(self):
+        import numpy as np
+
+        from easyanimate_tpu.training.trainer import (
+            TrainConfig,
+            create_train_state,
+            make_train_step,
+        )
+
+        class _Toy:
+            def apply(self, variables, noisy, t, txt, *a, **kw):
+                k = variables["params"]["k"]
+                return noisy * k
+
+        cfg = TrainConfig(motion_sub_loss=True, motion_sub_loss_ratio=0.5)
+        params = {"params": {"k": jnp.ones(())}}
+        state = create_train_state(params, cfg)
+        step = make_train_step(_Toy(), cfg)
+        batch = {"latents": jnp.ones((1, 4, 3, 8, 8)),
+                 "text": jnp.zeros((1, 2, 8))}
+        state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(jnp.abs(state2.params["params"]["k"] - 1.0)) > 0
