@@ -269,20 +269,8 @@ def create_train_state(params, cfg: TrainConfig) -> TrainState:
     )
 
 
-def make_train_step(
-    model: EasyAnimateTransformer3D,
-    cfg: TrainConfig,
-    params=None,
-) -> Callable:
-    """Returns step(state, batch, rng) -> (state, metrics).
-
-    batch: dict with
-      latents (B, C, T, H, W)  - VAE-encoded, already scaled
-      text    (B, S, D)        - text-encoder hidden states
-      rope    (cos, sin)       - prebuilt for the bucket's shape
-      optional inpaint_latents / control_latents
-    """
-    tx = make_optimizer(cfg, params)
+def make_loss_fn(model: EasyAnimateTransformer3D, cfg: TrainConfig) -> Callable:
+    """loss_fn(params, batch, rng) -> (loss, metrics) for cfg.loss_type."""
 
     def apply_model(params, noisy, timesteps, batch):
         return model.apply(
@@ -328,6 +316,25 @@ def make_train_step(
             latents, t, rng_noise, learn_sigma=cfg.loss_type == "sigma")
         return loss, aux
 
+    return loss_fn
+
+
+def make_train_step(
+    model: EasyAnimateTransformer3D,
+    cfg: TrainConfig,
+    params=None,
+) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    batch: dict with
+      latents (B, C, T, H, W)  - VAE-encoded, already scaled
+      text    (B, S, D)        - text-encoder hidden states
+      rope    (cos, sin)       - prebuilt for the bucket's shape
+      optional inpaint_latents / control_latents
+    """
+    tx = make_optimizer(cfg, params)
+    loss_fn = make_loss_fn(model, cfg)
+
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params["params"], batch, rng)
@@ -348,3 +355,23 @@ def make_train_step(
         )
 
     return step
+
+
+def make_param_grad_norms(model: EasyAnimateTransformer3D,
+                          cfg: TrainConfig) -> Callable:
+    """Per-parameter grad-norm reporter for abnormal-norm steps
+    (reference report_model_info tensorboard dump, train.py:2128-2137).
+    Returns fn(params, batch, rng) -> {"path/to/param": norm} (jitted; pay
+    one extra fwd+bwd only on the steps you call it)."""
+    from flax import traverse_util
+
+    loss_fn = make_loss_fn(model, cfg)
+
+    @jax.jit
+    def norms(params, batch, rng):
+        grads = jax.grad(lambda p: loss_fn(p, batch, rng)[0])(params)
+        flat = traverse_util.flatten_dict(grads, sep="/")
+        return {k: jnp.sqrt(jnp.sum(jnp.square(
+            v.astype(jnp.float32)))) for k, v in flat.items()}
+
+    return norms

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--text_encoder_path", default=None,
                     help="override <model_path>/text_encoder")
     ap.add_argument("--fp8", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 block linears")
     ap.add_argument("--scheduler", default="Flow")
     ap.add_argument("--server_port", type=int, default=7860)
     args = ap.parse_args()
@@ -35,7 +37,8 @@ def main():
     from easyanimate_tpu.ui.controller import EasyAnimateController
 
     pipe = load_pipeline(args.model_path, args.pipeline,
-                         fp8_weights=args.fp8, scheduler=args.scheduler)
+                         fp8_weights=args.fp8, int8_linears=args.int8,
+                         scheduler=args.scheduler)
     encode_text = load_text_encoders(
         args.model_path, text_encoder_path=args.text_encoder_path)
     controller = EasyAnimateController(pipeline=pipe,

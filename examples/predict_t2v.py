@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--seed", type=int, default=43)
     ap.add_argument("--fp8", action="store_true",
                     help="store transformer weights as fp8-e4m3")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 block linears (1.5x MXU; ops/quant.py)")
     ap.add_argument("--teacache", type=float, default=None,
                     help="TeaCache rel-L1 threshold (e.g. 0.1)")
     ap.add_argument("--lora", default=None)
@@ -45,7 +47,8 @@ def main():
     if args.model_path:
         from easyanimate_tpu.loader import load_pipeline
 
-        pipe = load_pipeline(args.model_path, "t2v", fp8_weights=args.fp8)
+        pipe = load_pipeline(args.model_path, "t2v", fp8_weights=args.fp8,
+                             int8_linears=args.int8)
         if args.lora:
             from easyanimate_tpu.training.lora import load_lora, merge_lora
 

@@ -50,6 +50,14 @@ def parse_args():
                     choices=["adamw", "came", "adamw8bit"])
     ap.add_argument("--motion_sub_loss", action="store_true",
                     help="temporal-delta sub-loss (ref train.py:2078-2082)")
+    ap.add_argument("--report_model_info", action="store_true",
+                    help="dump per-param grad norms on abnormal-norm steps "
+                         "(ref train.py:2128-2137)")
+    ap.add_argument("--abnormal_norm", type=float, default=2.0)
+    ap.add_argument("--sanity_check", action="store_true", default=True,
+                    help="dump the first batch as media (ref :1653-1670)")
+    ap.add_argument("--no-sanity_check", dest="sanity_check",
+                    action="store_false")
     ap.add_argument("--motion_sub_loss_ratio", type=float, default=0.25)
     ap.add_argument("--lr_scheduler", default="constant",
                     choices=["constant", "linear", "cosine"])
@@ -243,6 +251,9 @@ def main():
             loaded = next(loader)
             loaded = _shape_batch(args, loaded, vae_cfg, shape_rng)
             pixels = loaded["pixel_values"] * 2.0 - 1.0  # [-1,1] for the VAE
+            if (args.sanity_check and step == step0
+                    and jax.process_index() == 0):
+                _sanity_dump(args, loaded)
             rng, r_enc, r_step = jax.random.split(rng, 3)
             moments = vae_encode(vae, vparams, jnp.asarray(pixels))
             latents = gaussian_sample(moments, r_enc, axis=1) * lat_scale
@@ -283,6 +294,10 @@ def main():
             state, metrics = jstep(state, batch, r_step)
             metrics.update(timer.tick())
             logger.log(step, metrics)
+            if (args.report_model_info
+                    and float(metrics["grad_norm"]) > args.abnormal_norm):
+                _report_param_grad_norms(logger, step, state, batch, r_step,
+                                         transformer, tcfg)
             if step % 10 == 0:
                 print(f"step {step}: loss={float(metrics['loss']):.4f} "
                       f"gnorm={float(metrics['grad_norm']):.3f}")
@@ -380,6 +395,48 @@ def _camera_latents(loaded, latents, vae_cfg, cfg):
         ctl = jnp.concatenate(
             [ctl, jnp.zeros(latents.shape, ctl.dtype)], axis=1)
     return ctl.astype(latents.dtype)
+
+
+def _sanity_dump(args, loaded):
+    """First-batch media dump (reference train.py:1653-1670): pixel values
+    as GIFs plus inpaint masks, under output_dir/sanity_check/."""
+    import numpy as np
+
+    from easyanimate_tpu.utils.media import save_videos_grid
+
+    d = os.path.join(args.output_dir, "sanity_check")
+    os.makedirs(d, exist_ok=True)
+    try:
+        pix = np.asarray(loaded["pixel_values"])  # (B, C, T, H, W) in [0, 1]
+        for i in range(min(pix.shape[0], 4)):
+            save_videos_grid(pix[i:i + 1], os.path.join(d, f"batch_{i}.gif"),
+                             fps=8)
+        if "mask" in loaded:
+            m = np.asarray(loaded["mask"])
+            for i in range(min(m.shape[0], 4)):
+                save_videos_grid(np.repeat(m[i:i + 1], 3, axis=1),
+                                 os.path.join(d, f"mask_{i}.gif"), fps=8)
+        print(f"sanity check media written to {d}")
+    except Exception as e:  # best-effort: never kill the run over a dump
+        print(f"sanity check dump skipped: {type(e).__name__}: {e}")
+
+
+_GRAD_NORM_FN = {}
+
+
+def _report_param_grad_norms(logger, step, state, batch, rng, transformer,
+                             tcfg):
+    """Abnormal-step per-parameter grad norms -> metric log (reference
+    report_model_info, train.py:2128-2137)."""
+    from easyanimate_tpu.training.trainer import make_param_grad_norms
+
+    if "fn" not in _GRAD_NORM_FN:
+        _GRAD_NORM_FN["fn"] = make_param_grad_norms(transformer, tcfg)
+    norms = _GRAD_NORM_FN["fn"](state.params["params"], batch, rng)
+    top = sorted(norms.items(), key=lambda kv: -float(kv[1]))[:20]
+    logger.log(step, {f"grad_norm/{k}": float(v) for k, v in top})
+    print(f"step {step}: abnormal grad norm; top offenders: "
+          + ", ".join(f"{k}={float(v):.3f}" for k, v in top[:3]))
 
 
 def _log_validation(args, transformer, vae, state, vparams, encode_text,

@@ -275,3 +275,26 @@ class TestMotionSubLoss:
         state2, metrics = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
         assert float(jnp.abs(state2.params["params"]["k"] - 1.0)) > 0
+
+
+def test_param_grad_norms_reporter():
+    import numpy as np
+
+    from easyanimate_tpu.training.trainer import (
+        TrainConfig,
+        make_param_grad_norms,
+    )
+
+    class _Toy:
+        def apply(self, variables, noisy, t, txt, *a, **kw):
+            return noisy * variables["params"]["a"]["k"] + \
+                variables["params"]["b"]["k"]
+
+    fn = make_param_grad_norms(_Toy(), TrainConfig())
+    params = {"a": {"k": jnp.ones(())}, "b": {"k": jnp.zeros(())}}
+    batch = {"latents": jnp.ones((1, 4, 3, 8, 8)),
+             "text": jnp.zeros((1, 2, 8))}
+    norms = fn(params, batch, jax.random.PRNGKey(0))
+    assert set(norms) == {"a/k", "b/k"}
+    assert all(np.isfinite(float(v)) for v in norms.values())
+    assert float(norms["a/k"]) > 0
