@@ -7,8 +7,8 @@ Tracked configuration = the reference's own V5.1 SWA variant
 EasyAnimateSWAttnProcessor2_0) with W8A8 int8 block linears (ops/quant.py;
 the v5e int8 MXU runs 1.5x bf16 -- quality guard: tests/test_quant.py,
 cosine >0.999 vs float on the full forward), every denoise step computed --
-a deterministic, content-independent number. 3.47 s/step measured =
-1.067x the A100 baseline. `--no-int8` benches bf16-compute (4.18 s/step);
+a deterministic, content-independent number. 3.30 s/step measured =
+1.12x the A100 baseline. `--no-int8` benches bf16-compute (4.18 s/step);
 `--config plain` the dense full-attention path; `--config swa_teacache`
 additionally stacks TeaCache (threshold 0.1, transformer3d.py:90-137), but
 its skip rate is content-dependent and DEGENERATE on random weights (the

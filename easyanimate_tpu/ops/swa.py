@@ -218,19 +218,21 @@ def swa_attention_streams(
         impl == "auto" and jax.default_backend() != "tpu")
     window = height * width
 
-    # global cross pass: all queries vs text + strided video kv (tiny)
+    # global cross pass: all queries vs text + strided video kv (tiny).
+    # text and video queries share the kv, so they ride in ONE kernel call
+    # (a separate 256-query call would pay the full per-head grid overhead
+    # again); block_q 2048 / single 1536-wide kv block with a 512 inner
+    # loop measured 16.4 ms vs 21 for two calls at 256-wide kv blocks.
     interval = max(sv // max(cross_attention_size - st, 1), 1)
     ck = jnp.concatenate([k_txt, k_vid[:, :, ::interval]], axis=2)
     cv = jnp.concatenate([v_txt, v_vid[:, :, ::interval]], axis=2)
     from .attention import attention as dense_attention
 
-    # kv here is only ~cross_attention_size tokens; the default 2048 kv
-    # block would pad it by ~60% -- use a 256 block (zero/low padding)
-    dense = lambda q_: dense_attention(q_, ck, cv,
-                                       impl="xla" if interpret else "pallas",
-                                       block_kv=256, block_kv_inner=256)
-    cross_txt = dense(q_txt)
-    cross_vid = dense(q_vid)
+    cross = dense_attention(
+        jnp.concatenate([q_txt, q_vid], axis=2), ck, cv,
+        impl="xla" if interpret else "pallas",
+        block_q=2048, block_kv=1536, block_kv_inner=512)
+    cross_txt, cross_vid = cross[:, :, :st], cross[:, :, st:]
 
     # local 6-direction pass over video tokens only; all head groups share
     # the same window so their permuted tokens batch into ONE kernel call
