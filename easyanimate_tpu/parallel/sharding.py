@@ -25,10 +25,12 @@ _MMDIT_RULES = [
     (r"(attn1_out|attn2_out)/kernel$", ("tp", -2)),
     (r"ff/wo/kernel$", ("tp", -2)),
     (r"txt_ff/wo/kernel$", ("tp", -2)),
-    # biases of tp-sharded outputs
-    (r"(attn1|attn2)/to_[qkv]/bias$", ("tp", -1)),
-    (r"ff/wi/bias$", ("tp", -1)),
-    (r"txt_ff/wi/bias$", ("tp", -1)),
+    # biases + int8 per-out-channel quant scales of tp-sharded outputs
+    # (ops/quant.py W8A8: "scale" follows the kernel's output dim; wo /
+    # attn_out scales are over non-sharded output features -> replicated)
+    (r"(attn1|attn2)/to_[qkv]/(bias|scale)$", ("tp", -1)),
+    (r"ff/wi/(bias|scale)$", ("tp", -1)),
+    (r"txt_ff/wi/(bias|scale)$", ("tp", -1)),
 ]
 
 

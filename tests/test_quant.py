@@ -114,3 +114,36 @@ def test_quantize_params_only_touches_block_linears():
         else:
             np.testing.assert_array_equal(
                 np.asarray(flat[p]), np.asarray(flat_q[p]))
+
+
+def test_int8_forward_on_tp_mesh_matches_single_device():
+    """int8 params shard onto a dp/sp/tp mesh (scale follows the kernel's
+    tp axis) and the sharded forward matches single-device output."""
+    from easyanimate_tpu.parallel.mesh import MeshConfig, create_mesh
+    from easyanimate_tpu.parallel.sharding import (
+        mmdit_param_specs,
+        shard_params,
+    )
+
+    model, model_q, cfg = _tiny_pair()
+    inputs = _tiny_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), *inputs)["params"]
+    params_q = quantize_params_int8(params)
+
+    specs = mmdit_param_specs(params_q)
+    from flax import traverse_util
+
+    flat_specs = traverse_util.flatten_dict(specs, sep="/")
+    # qkv/wi scales carry the tp axis like their kernels' output dim
+    qs = [v for k, v in flat_specs.items() if k.endswith("to_q/scale")]
+    assert qs and all("tp" in str(s) for s in qs), qs
+    ws = [v for k, v in flat_specs.items() if k.endswith("ff/wo/scale")]
+    assert ws and all(s == jax.sharding.PartitionSpec() for s in ws), ws
+
+    want = np.asarray(model_q.apply({"params": params_q}, *inputs))
+    mesh = create_mesh(MeshConfig(dp=2, sp=1, tp=2))
+    with mesh:
+        sharded, _ = shard_params(params_q, mesh)
+        fwd = jax.jit(lambda p, *a: model_q.apply({"params": p}, *a))
+        got = np.asarray(fwd(sharded, *inputs))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
