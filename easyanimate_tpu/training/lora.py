@@ -59,13 +59,29 @@ def lora_init(params: Any, cfg: LoRAConfig, rng: jax.Array) -> Any:
 
 def merge_lora(params: Any, lora: Any, cfg: LoRAConfig,
                scale: float = 1.0) -> Any:
-    """kernel' = kernel + scale * (alpha/rank) * down @ up."""
+    """kernel' = kernel + scale * (alpha/rank) * down @ up.
+
+    W8A8-quantized kernels (ops/quant.py: int8 kernel + f32 "scale"
+    sibling) merge in dequantized space and requantize, refreshing the
+    per-out-channel scale — merge/unmerge round-trips then carry only
+    quantization error, not raw-int corruption."""
     flat = dict(_flat(params))
     coef = scale * cfg.alpha / cfg.rank
     for path, fac in lora.items():
         delta = jnp.matmul(fac["down"], fac["up"]) * coef
-        flat[path] = (flat[path].astype(jnp.float32) + delta).astype(
-            flat[path].dtype)
+        kern = flat[path]
+        if kern.dtype == jnp.int8:
+            assert path.endswith("kernel"), path
+            spath = path[:-len("kernel")] + "scale"
+            wscale = flat[spath]
+            w = kern.astype(jnp.float32) * wscale[..., None, :] + delta
+            new_scale = jnp.maximum(
+                jnp.max(jnp.abs(w), axis=-2) / 127.0, 1e-12)
+            flat[spath] = new_scale.astype(jnp.float32)
+            flat[path] = jnp.round(
+                w / new_scale[..., None, :]).astype(jnp.int8)
+        else:
+            flat[path] = (kern.astype(jnp.float32) + delta).astype(kern.dtype)
     return _unflat(flat)
 
 

@@ -147,3 +147,49 @@ def test_int8_forward_on_tp_mesh_matches_single_device():
         fwd = jax.jit(lambda p, *a: model_q.apply({"params": p}, *a))
         got = np.asarray(fwd(sharded, *inputs))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_lora_merge_on_int8_params_dequantizes():
+    """merge_lora on W8A8 kernels merges in dequantized space, refreshes
+    the scale, and unmerge round-trips within quantization error."""
+    from easyanimate_tpu.training.lora import (
+        LoRAConfig,
+        lora_init,
+        merge_lora,
+        unmerge_lora,
+    )
+
+    model, model_q, cfg = _tiny_pair()
+    inputs = _tiny_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), *inputs)["params"]
+    params_q = quantize_params_int8(params)
+
+    lcfg = LoRAConfig(rank=2, alpha=2.0)
+    lora = lora_init(params, lcfg, jax.random.PRNGKey(7))
+    # give the factors real magnitude so the merge visibly changes outputs
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+
+    merged_q = merge_lora(params_q, lora, lcfg)
+    from flax import traverse_util
+
+    flat_q = traverse_util.flatten_dict(params_q, sep="/")
+    flat_m = traverse_util.flatten_dict(merged_q, sep="/")
+    assert all(flat_m[k].dtype == v.dtype for k, v in flat_q.items())
+
+    # float-space reference: merge on float params, then quantize
+    merged_ref = quantize_params_int8(merge_lora(params, lora, lcfg))
+    out_q = np.asarray(model_q.apply({"params": merged_q}, *inputs), np.float32)
+    out_ref = np.asarray(model_q.apply({"params": merged_ref}, *inputs),
+                         np.float32)
+    rel = np.linalg.norm(out_q - out_ref) / (np.linalg.norm(out_ref) + 1e-9)
+    assert rel < 0.02, rel
+
+    # and the merge actually changed the output
+    base = np.asarray(model_q.apply({"params": params_q}, *inputs), np.float32)
+    assert np.linalg.norm(out_q - base) / (np.linalg.norm(base) + 1e-9) > 1e-3
+
+    # unmerge round-trip stays close to the original int8 forward
+    back = unmerge_lora(merged_q, lora, lcfg)
+    out_b = np.asarray(model_q.apply({"params": back}, *inputs), np.float32)
+    rel = np.linalg.norm(out_b - base) / (np.linalg.norm(base) + 1e-9)
+    assert rel < 0.02, rel
