@@ -11,7 +11,7 @@ from_pt=True); Qwen2 uses the in-repo flax tower (models/text/qwen2.py).
 Each encoder returns (embeds [B,S,D], mask [B,S]).
 """
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,7 @@ tests/test_legacy_models.py::test_patch_modes).
 """
 import dataclasses
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

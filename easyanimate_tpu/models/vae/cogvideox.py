@@ -20,7 +20,7 @@ Architectural differences from MagViT:
 Layout: channels-last (B, T, H, W, C); wrappers convert from (B, C, T, H, W).
 """
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,6 @@ stays sharding-agnostic. Megatron-style layout:
 Scan-stacked block params carry a leading layer axis (never sharded).
 """
 import re
-from typing import Optional
 
 import jax
 import numpy as np

@@ -16,7 +16,7 @@ scored and averaged (reference scores 4 sampled frames,
 train_reward_lora.py:144-206).
 """
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Algorithm per step (paper Alg. 1):
   s    = (uhat - m)^2          instability
   update = m / sqrt(shat)      shat: factored EMA of s + eps2
 """
-import dataclasses
 from typing import NamedTuple
 
 import jax

@@ -10,7 +10,6 @@ import os
 import shutil
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

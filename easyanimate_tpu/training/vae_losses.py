@@ -11,7 +11,7 @@ LPIPS is a flax VGG16-feature distance; pretrained VGG/lin weights load via
 weights the loss is still well-defined (tests run structure + gradients).
 """
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
