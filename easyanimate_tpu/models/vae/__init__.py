@@ -32,3 +32,11 @@ from .cogvideox import (  # noqa: E402
 
 __all__ += ["AutoencoderKLCogVideoX", "CogVideoXVAEConfig",
             "cog_latent_frame_count"]
+
+from .kl2d import (  # noqa: E402
+    AutoencoderKL,
+    KL2DConfig,
+    convert_kl2d_state_dict,
+)
+
+__all__ += ["AutoencoderKL", "KL2DConfig", "convert_kl2d_state_dict"]

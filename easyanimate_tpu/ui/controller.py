@@ -44,8 +44,8 @@ class EasyAnimateController:
 
     #: edition name -> config yaml (reference ui.py update_edition table)
     EDITION_CONFIGS = {
-        "v1": "config/easyanimate_video_v3_slicevae_motion_module.yaml",
-        "v2": "config/easyanimate_video_v3_slicevae_motion_module.yaml",
+        "v1": "config/easyanimate_video_v1_motion_module.yaml",
+        "v2": "config/easyanimate_video_v2_magvit_motion_module.yaml",
         "v3": "config/easyanimate_video_v3_slicevae_motion_module.yaml",
         "v4": "config/easyanimate_video_v4_slicevae_multi_text_encoder.yaml",
         "v5": "config/easyanimate_video_v5_magvit_multi_text_encoder.yaml",

@@ -18,7 +18,12 @@ from ..models.transformer3d_legacy import (
     Transformer3D,
     Transformer3DConfig,
 )
-from ..models.vae import AutoencoderKLCogVideoX, AutoencoderKLMagvit
+from ..models.vae import (
+    AutoencoderKL,
+    AutoencoderKLCogVideoX,
+    AutoencoderKLMagvit,
+    KL2DConfig,
+)
 
 # reference registry parity (models/__init__.py:6-15)
 name_to_transformer3d = {
@@ -27,6 +32,7 @@ name_to_transformer3d = {
     "EasyAnimateTransformer3DModel": EasyAnimateTransformer3D,
 }
 name_to_autoencoder_magvit = {
+    "AutoencoderKL": AutoencoderKL,
     "AutoencoderKLMagvit": AutoencoderKLMagvit,
     "AutoencoderKLCogVideoX": AutoencoderKLCogVideoX,
 }
@@ -85,3 +91,35 @@ def build_transformer(config: Dict[str, Any], dtype: str = "bfloat16",
             **_filter_fields(Transformer3DConfig, kw))
         return Transformer3D(cfg), cfg
     raise ValueError(f"unknown transformer_type {t_type}")
+
+
+def build_vae(config: Dict[str, Any], dtype: str = "float32", **overrides):
+    """vae_kwargs -> (module, config dataclass). Accepts both this repo's
+    `chunk_mode` and the reference's boolean flags (train.py:1006-1027)."""
+    from ..models.vae import CogVideoXVAEConfig, MagvitVAEConfig
+
+    kw = dict(config.get("vae_kwargs", config))
+    kw.update(overrides)
+    v_type = kw.pop("vae_type", "AutoencoderKLMagvit")
+    if "chunk_mode" not in kw:
+        for flag, mode in (("cache_mag_vae", "cache_mag"),
+                           ("slice_mag_vae", "slice_mag"),
+                           ("cache_compression_vae", "cache_compression"),
+                           ("slice_compression_vae", "slice_compression")):
+            if kw.pop(flag, False):
+                kw["chunk_mode"] = mode
+        for flag in ("cache_mag_vae", "slice_mag_vae",
+                     "cache_compression_vae", "slice_compression_vae"):
+            kw.pop(flag, None)
+    if v_type == "AutoencoderKL":
+        cfg = KL2DConfig(dtype=dtype, **_filter_fields(KL2DConfig, kw))
+        return AutoencoderKL(cfg), cfg
+    if v_type == "AutoencoderKLMagvit":
+        cfg = MagvitVAEConfig(dtype=dtype,
+                              **_filter_fields(MagvitVAEConfig, kw))
+        return AutoencoderKLMagvit(cfg), cfg
+    if v_type == "AutoencoderKLCogVideoX":
+        cfg = CogVideoXVAEConfig(dtype=dtype,
+                                 **_filter_fields(CogVideoXVAEConfig, kw))
+        return AutoencoderKLCogVideoX(cfg), cfg
+    raise ValueError(f"unknown vae_type {v_type}")

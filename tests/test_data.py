@@ -222,20 +222,22 @@ def test_bsrgan_variant_degradations(rng):
     assert not np.allclose(out, img)   # something actually degraded
 
 def test_reference_format_yaml_configs_build():
-    """All shipped config yamls (mirroring the reference's four editions)
-    build transformers through the registry + flag mapping."""
+    """All shipped config yamls (mirroring the reference's six editions)
+    build transformers AND VAEs through the registry + flag mapping."""
     import glob
     import os
 
     from easyanimate_tpu.utils.config import (
         build_transformer,
+        build_vae,
         load_yaml_config,
+        name_to_autoencoder_magvit,
         name_to_transformer3d,
     )
 
     base = os.path.join(os.path.dirname(__file__), "..", "config")
     paths = sorted(glob.glob(os.path.join(base, "*.yaml")))
-    assert len(paths) >= 4
+    assert len(paths) >= 6
     for p in paths:
         cfg = load_yaml_config(p)
         kw = cfg["transformer_additional_kwargs"]
@@ -243,3 +245,28 @@ def test_reference_format_yaml_configs_build():
         module, mcfg = build_transformer(
             cfg, num_layers=2, num_attention_heads=2, attention_head_dim=16)
         assert module is not None, p
+        vkw = cfg.get("vae_kwargs", {})
+        if vkw:
+            assert vkw["vae_type"] in name_to_autoencoder_magvit
+            vae, vcfg = build_vae(cfg)
+            assert vae is not None, p
+            assert vcfg.spatial_compression == 8, p
+
+
+def test_kl2d_vae_in_v1_edition_roundtrips():
+    """The V1 edition's 2D image VAE encodes/decodes video frame-batched."""
+    import jax
+    import jax.numpy as jnp
+
+    from easyanimate_tpu.utils.config import build_vae
+
+    vae, cfg = build_vae({"vae_kwargs": {
+        "vae_type": "AutoencoderKL", "block_out_channels": [8, 16, 16],
+        "layers_per_block": 1, "norm_num_groups": 4}})
+    video = jnp.zeros((1, 3, 2, 32, 32))
+    params = vae.init(jax.random.PRNGKey(0), video)
+    moments = vae.apply(params, video, method=type(vae).encode)
+    sc = cfg.spatial_compression  # 3 tiny blocks -> 4x
+    assert moments.shape == (1, 2 * cfg.latent_channels, 2, 32 // sc, 32 // sc)
+    out = vae.apply(params, video)
+    assert out.shape == video.shape
