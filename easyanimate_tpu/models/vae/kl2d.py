@@ -41,9 +41,26 @@ class KL2DConfig:
     def spatial_compression(self) -> int:
         return 2 ** (len(self.block_out_channels) - 1)
 
-    # chunk protocol parity with the 3D VAEs (frame-batched by design)
+    # duck-type parity with MagvitVAEConfig so pipelines treat the 2D VAE
+    # as a chunkless, seamless, never-tiled member of the family
     @property
     def temporal_compression(self) -> int:
+        return 1
+
+    @property
+    def chunk_mode(self) -> str:
+        return "none"
+
+    @property
+    def tile_sample_min_size(self) -> int:
+        return 1 << 30  # frame-batched 2D convs: no spatial tiling needed
+
+    @property
+    def mini_batch_encoder(self) -> int:
+        return 1
+
+    @property
+    def mini_batch_decoder(self) -> int:
         return 1
 
 

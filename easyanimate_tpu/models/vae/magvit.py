@@ -383,6 +383,14 @@ def vae_encode(vae: AutoencoderKLMagvit, params, video: jnp.ndarray,
     video: (B, C, T, H, W) if channels_first else (B, T, H, W, C).
     Returns moments in the same channel convention.
     """
+    from .kl2d import AutoencoderKL
+
+    if isinstance(vae, AutoencoderKL):  # V1 2D VAE: frame-batched, chunkless
+        if not channels_first:
+            video = jnp.transpose(video, (0, 4, 1, 2, 3))
+        moments = vae.apply(params, video, method=AutoencoderKL.encode)
+        return moments if channels_first else jnp.transpose(
+            moments, (0, 2, 3, 4, 1))
     cfg = vae.cfg
     if channels_first:
         video = jnp.transpose(video, (0, 2, 3, 4, 1))
@@ -408,6 +416,14 @@ def vae_encode(vae: AutoencoderKLMagvit, params, video: jnp.ndarray,
 def vae_decode(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
                channels_first: bool = True) -> jnp.ndarray:
     """latents -> pixels in [-1, 1] (no scaling_factor handling here)."""
+    from .kl2d import AutoencoderKL
+
+    if isinstance(vae, AutoencoderKL):
+        if not channels_first:
+            latents = jnp.transpose(latents, (0, 4, 1, 2, 3))
+        video = vae.apply(params, latents, method=AutoencoderKL.decode)
+        return video if channels_first else jnp.transpose(
+            video, (0, 2, 3, 4, 1))
     cfg = vae.cfg
     if channels_first:
         latents = jnp.transpose(latents, (0, 2, 3, 4, 1))
@@ -597,6 +613,10 @@ def gaussian_kl(moments: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def latent_frame_count(pixel_frames: int, cfg: MagvitVAEConfig) -> int:
     """Reference frame remap: (f-1)//mini_batch_encoder*mini_batch_decoder+1
     (pipeline_easyanimate.py:677-688)."""
+    from .kl2d import KL2DConfig
+
+    if isinstance(cfg, KL2DConfig):  # V1 2D VAE: one latent per frame
+        return pixel_frames
     if cfg.chunk_mode == "cache_mag":
         return (pixel_frames - 1) // cfg.mini_batch_encoder * cfg.mini_batch_decoder + 1
     if cfg.chunk_mode in ("slice_compression", "cache_compression"):

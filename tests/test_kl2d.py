@@ -188,3 +188,36 @@ def test_kl2d_init_matches_converter_structure(rng):
     assert set(fi) == set(fc), (set(fi) ^ set(fc))
     for k in fi:
         assert fi[k].shape == np.shape(fc[k]), k
+
+
+def test_v1_pipeline_with_kl2d_vae(rng):
+    """EasyAnimatePipeline runs end-to-end over the V1 2D image VAE
+    (frame-batched decode, no chunk protocol, no seams)."""
+    from easyanimate_tpu.models.mmdit import (
+        PRESETS,
+        EasyAnimateTransformer3D,
+    )
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+
+    cfg = dataclasses.replace(PRESETS["tiny"], in_channels=4, out_channels=4)
+    transformer = EasyAnimateTransformer3D(cfg)
+    vae = AutoencoderKL(CFG)  # latent_channels=4, 3 blocks -> /4 spatial
+
+    h = w = 32
+    frames = 3
+    lat = jnp.zeros((1, 4, frames, h // CFG.spatial_compression,
+                     w // CFG.spatial_compression))
+    txt = jnp.zeros((1, 5, cfg.text_embed_dim))
+    tp = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                          None)
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 1, h, w)))
+
+    pipe = EasyAnimatePipeline(transformer=transformer, vae=vae,
+                               transformer_params=tp, vae_params=vp)
+    pos = jnp.asarray(
+        rng.standard_normal((1, 5, cfg.text_embed_dim)).astype(np.float32))
+    out = pipe(pos, jnp.zeros_like(pos), height=h, width=w,
+               video_length=frames, num_inference_steps=2,
+               guidance_scale=2.0, rng=jax.random.PRNGKey(2))
+    assert out.shape == (1, 3, frames, h, w)
+    assert np.isfinite(np.asarray(out)).all()
