@@ -34,12 +34,17 @@ class EasyAnimateController:
     # -- model management ---------------------------------------------------
 
     def update_diffusion_transformer(self, path: str):
+        """Hot-swap the checkpoint, preserving the live pipeline's serving
+        mode (W8A8 int8 linears survive the swap)."""
         from ..loader import load_pipeline
 
-        new = load_pipeline(path, pipeline_type="inpaint"
-                            if isinstance(self.pipeline,
-                                          EasyAnimateInpaintPipeline)
-                            else "t2v")
+        tcfg = getattr(self.pipeline.transformer, "cfg", None)
+        new = load_pipeline(
+            path,
+            pipeline_type="inpaint"
+            if isinstance(self.pipeline, EasyAnimateInpaintPipeline)
+            else "t2v",
+            int8_linears=getattr(tcfg, "linear_quant", None) == "int8")
         self.pipeline = new
 
     #: edition name -> config yaml (reference ui.py update_edition table)

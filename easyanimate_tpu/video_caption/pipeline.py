@@ -26,10 +26,17 @@ def run_preprocessing(
     rewrite_fn: Optional[Callable[[str], str]] = None,
     embed_fn: Optional[Callable] = None,
     ocr_fn: Optional[Callable] = None,
+    videoclip_score_fn: Optional[Callable] = None,
     min_motion: float = 2.0,
     max_motion: float = 14.0,
+    min_videoclip_score: float = 0.2,
 ) -> str:
     """videos -> scene clips -> scored + filtered -> captioned manifest.
+
+    videoclip_score_fn: (video_paths, texts) -> scores; build one with
+    `videoclip_xl.videoclip_xl_score_fn(ckpt, vocab)` to replicate the
+    reference's compute_video_quality.py text-video alignment filter
+    (applied after captioning, which provides the texts).
 
     Returns the path of the written train.json (ImageVideoDataset format).
     """
@@ -70,6 +77,18 @@ def run_preprocessing(
         if rewrite_fn and caption:
             caption = rewrite_fn(REWRITE_PROMPT.format(caption=caption))
         e["text"] = caption
+
+    # stage 2b: text-video alignment (needs captions; VideoCLIP-XL parity)
+    if videoclip_score_fn is not None:
+        captioned = [e for e in entries if e["text"]]
+        if captioned:
+            scores = videoclip_score_fn([e["file_path"] for e in captioned],
+                                        [e["text"] for e in captioned])
+            for e, s in zip(captioned, scores):
+                e["videoclipxl_score"] = float(s)
+            entries = [e for e in entries
+                       if e.get("videoclipxl_score", 1.0)
+                       >= min_videoclip_score]
 
     out_path = os.path.join(out_dir, "train.json")
     with open(out_path, "w") as f:

@@ -79,6 +79,30 @@ def test_run_preprocessing_end_to_end(tmp_path):
     assert data[0]["text"] == "a white square moves"
     assert os.path.exists(data[0]["file_path"])
 
+def test_run_preprocessing_videoclip_filter(tmp_path):
+    """Stage-2b text-video alignment filter drops low-scoring clips and
+    records the score (compute_video_quality.py parity)."""
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    _write_video(str(vdir / "clip.mp4"), [(120, "moving")])
+
+    def scorer(paths, texts):
+        assert len(paths) == len(texts) and texts[0]
+        return [0.9] * len(paths)
+
+    out = run_preprocessing(str(vdir), str(tmp_path / "out"),
+                            caption_fn=lambda p: "a white square moves",
+                            videoclip_score_fn=scorer, min_motion=0.01)
+    data = json.load(open(out))
+    assert data and all(e["videoclipxl_score"] == 0.9 for e in data)
+
+    out = run_preprocessing(str(vdir), str(tmp_path / "out2"),
+                            caption_fn=lambda p: "a white square moves",
+                            videoclip_score_fn=lambda p, t: [0.0] * len(p),
+                            min_motion=0.01)
+    assert json.load(open(out)) == []
+
+
 def test_caption_rewrite_extraction_and_manifest():
     from easyanimate_tpu.video_caption.recaption import (
         beautiful_prompt,
