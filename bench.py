@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--scan_chunk", type=int, default=8,
                     help="bounded-runtime denoise segments (CLAUDE.md)")
+    ap.add_argument("--height", type=int, default=384)
+    ap.add_argument("--width", type=int, default=672)
+    ap.add_argument("--frames", type=int, default=49,
+                    help="other reference workloads: 25 (A100 1.75 s/it)")
     args = ap.parse_args()
 
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
@@ -96,7 +100,8 @@ def main():
         cfg = dataclasses.replace(cfg, linear_quant="int8")
     model = EasyAnimateTransformer3D(cfg)
 
-    height, width, frames, text_len = 384, 672, 49, 256
+    height, width, frames, text_len = (args.height, args.width,
+                                       args.frames, 256)
 
     t0 = time.time()
     lat_t = (frames - 1) // 4 + 1
@@ -138,15 +143,18 @@ def main():
     run(1)
     sec_per_step = (time.time() - t0) / args.steps
 
-    baseline = 3.7  # A100 s/step at this workload (BASELINE.md)
+    # A100 s/step baselines per workload (BASELINE.md / ref README.md:140-143)
+    baselines = {(384, 672, 49): 3.7, (384, 672, 25): 1.75,
+                 (576, 1008, 49): 11.4, (768, 1344, 49): 28.3}
+    baseline = baselines.get((height, width, frames), 3.7)
     label = {"swa_teacache": "SWA+TeaCache", "swa": "SWA",
              "plain": "dense"}[args.config]
     if args.int8:
         label += "+int8"
     weights = "int8 W8A8 linears, fp8 rest" if args.int8 else "fp8 weights"
     print(json.dumps({
-        "metric": (f"12B MMDiT denoise s/step, T2V 384x672x49f 25-step CFG, "
-                   f"{label} ({weights}, 1x v5e)"),
+        "metric": (f"12B MMDiT denoise s/step, T2V {height}x{width}x"
+                   f"{frames}f 25-step CFG, {label} ({weights}, 1x v5e)"),
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(baseline / sec_per_step, 3),
