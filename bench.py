@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--width", type=int, default=672)
     ap.add_argument("--frames", type=int, default=49,
                     help="other reference workloads: 25 (A100 1.75 s/it)")
+    ap.add_argument("--cfg_split", action="store_true",
+                    help="sequential CFG (memory mode; fits 576x1008x49f)")
     args = ap.parse_args()
 
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
@@ -132,7 +134,7 @@ def main():
                    num_inference_steps=args.steps, guidance_scale=6.0,
                    rng=jax.random.PRNGKey(seed), decode=False,
                    output_type="latent", teacache_threshold=teacache,
-                   scan_chunk=args.scan_chunk)
+                   scan_chunk=args.scan_chunk, cfg_split=args.cfg_split)
         return float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
 
     t0 = time.time()
@@ -151,6 +153,8 @@ def main():
              "plain": "dense"}[args.config]
     if args.int8:
         label += "+int8"
+    if args.cfg_split:
+        label += "+cfg_split"
     weights = "int8 W8A8 linears, fp8 rest" if args.int8 else "fp8 weights"
     print(json.dumps({
         "metric": (f"12B MMDiT denoise s/step, T2V {height}x{width}x"

@@ -117,6 +117,7 @@ class EasyAnimatePipeline:
         decode: bool = True,
         teacache_threshold: Optional[float] = None,
         scan_chunk: Optional[int] = None,
+        cfg_split: bool = False,
     ):
         b = prompt_embeds.shape[0]
         do_cfg = guidance_scale > 1.0
@@ -145,7 +146,7 @@ class EasyAnimatePipeline:
         denoise = self._denoise_fn(
             num_inference_steps, float(guidance_scale),
             float(guidance_rescale), txt_t5 is not None, 0,
-            teacache_threshold, scan_chunk=scan_chunk)
+            teacache_threshold, scan_chunk=scan_chunk, cfg_split=cfg_split)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           {})
 
@@ -181,7 +182,8 @@ class EasyAnimatePipeline:
                     guidance_rescale: float, has_t5: bool, t_start: int = 0,
                     teacache_threshold: Optional[float] = None,
                     clip_apply_ratio: Optional[float] = None,
-                    scan_chunk: Optional[int] = None):
+                    scan_chunk: Optional[int] = None,
+                    cfg_split: bool = False):
         sched = self.scheduler
         model = self.transformer
         latent_channels = self.vae_cfg.latent_channels
@@ -206,6 +208,24 @@ class EasyAnimatePipeline:
                     gate, cond["clip_encoder_hidden_states"], 0.0)
                 cond["clip_attention_mask"] = jnp.where(
                     gate, cond["clip_attention_mask"], 0.0)
+            if do_cfg and cfg_split and teacache_threshold is None:
+                # sequential CFG: run uncond and cond halves through the
+                # backbone one after the other -- same math, roughly half
+                # the activation peak (what fits 576x1008x49f beside the
+                # resident 12B on one 16 GB chip)
+                t_vec = jnp.full((lat.shape[0],), step[0], jnp.float32)
+                hb = txt.shape[0] // 2
+
+                def half(i):
+                    sl = lambda a: (a[i * hb:(i + 1) * hb]
+                                    if (a is not None
+                                        and a.shape[0] == 2 * hb) else a)
+                    return model.apply(
+                        params, lat, t_vec, sl(txt), rope,
+                        encoder_hidden_states_t5=sl(txt_t5),
+                        **{k: sl(v) for k, v in cond.items()})
+
+                return jnp.concatenate([half(0), half(1)]), tea_carry
             lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
             t_vec = jnp.full((lat_in.shape[0],), step[0], jnp.float32)
             if teacache_threshold is None:

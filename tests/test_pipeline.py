@@ -312,3 +312,37 @@ def test_swa_plus_teacache_stacked(rng):
     np.testing.assert_allclose(stacked, plain, atol=1e-5)
     assert np.isfinite(skipping).all()
     assert np.abs(skipping - plain).max() > 1e-6  # skipping actually engaged
+
+
+def test_cfg_split_matches_batched_cfg(rng):
+    """Sequential-CFG (memory mode) produces the same video as the batched
+    CFG path."""
+    import dataclasses as _dc
+
+    from easyanimate_tpu.models.mmdit import (
+        PRESETS,
+        EasyAnimateTransformer3D,
+    )
+    from easyanimate_tpu.models.vae import AutoencoderKLMagvit
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+
+    cfg = _dc.replace(PRESETS["tiny"], attn_impl="xla")
+    transformer = EasyAnimateTransformer3D(cfg)
+    vae = AutoencoderKLMagvit(TINY_VAE)
+    lat = jnp.zeros((1, 4, 2, 8, 8))
+    txt = jnp.zeros((1, 5, cfg.text_embed_dim))
+    tp = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                          None)
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = EasyAnimatePipeline(transformer=transformer, vae=vae,
+                               transformer_params=tp, vae_params=vp)
+    pos = jnp.asarray(
+        rng.standard_normal((1, 5, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    kw = dict(height=32, width=32, video_length=5, num_inference_steps=3,
+              guidance_scale=4.0, decode=False, output_type="latent")
+    a = pipe(pos, neg, rng=jax.random.PRNGKey(3), **kw)
+    b = pipe(pos, neg, rng=jax.random.PRNGKey(3), cfg_split=True, **kw)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-4,
+                               rtol=1e-3)
