@@ -147,6 +147,44 @@ def ring_attention(q, k, v, axis_name: str = "sp",
     return o.astype(q.dtype)
 
 
+def ring_attention_diff(q, k, v, axis_name: str = "sp",
+                        sm_scale: Optional[float] = None):
+    """Differentiable ring attention: the forward is `ring_attention`
+    (rotating KV, O(seq/sp) memory, overlap-friendly); the backward is the
+    exact gradient of the same math computed through the all-gather
+    formulation at the saved inputs — attention(q, k, v) is identical
+    either way, so the VJP is exact while staying simple enough to trust.
+    Training at all-gather memory in the backward is the same budget the
+    default training mode (`mode="allgather"`) already pays."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def _ring(q, k, v, scale):
+        return ring_attention(q, k, v, axis_name=axis_name, sm_scale=scale)
+
+    def _fwd(q, k, v, scale):
+        return _ring(q, k, v, scale), (q, k, v)
+
+    def _bwd(scale, res, g):
+        q, k, v = res
+
+        def ref(q_, k_, v_):
+            kf = jax.lax.all_gather(k_, axis_name, axis=2, tiled=True)
+            vf = jax.lax.all_gather(v_, axis_name, axis=2, tiled=True)
+            d = q_.shape[-1]
+            s = jnp.einsum("bhqd,bhkd->bhqk", q_, kf,
+                           preferred_element_type=jnp.float32)
+            s = s * (scale if scale is not None else d ** -0.5)
+            p = jax.nn.softmax(s, axis=-1)
+            return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_.dtype), vf
+                              ).astype(q_.dtype)
+
+        _, vjp = jax.vjp(ref, q, k, v)
+        return vjp(g)
+
+    _ring.defvjp(_fwd, _bwd)
+    return _ring(q, k, v, sm_scale)
+
+
 def make_sp_attention(mesh: Mesh, mode: str = "allgather",
                       impl: str = "auto", shape=None):
     """shard_map-wrapped sequence-parallel attention: inputs [B, H, S, D]
@@ -174,7 +212,7 @@ def make_sp_attention(mesh: Mesh, mode: str = "allgather",
         fn = functools.partial(allgather_kv_attention, axis_name="sp",
                                impl=impl)
     elif mode == "ring":
-        fn = functools.partial(ring_attention, axis_name="sp")
+        fn = functools.partial(ring_attention_diff, axis_name="sp")
     else:
         raise ValueError(mode)
 
