@@ -40,6 +40,8 @@ class EasyAnimateControlPipeline(EasyAnimatePipeline):
         guidance_rescale: float = 0.0,
         rng: Optional[jax.Array] = None,
         output_type: str = "np",
+        scan_chunk: Optional[int] = None,
+        cfg_split: bool = False,
         **kw,
     ):
         cfg = self.mmdit_cfg
@@ -89,7 +91,9 @@ class EasyAnimateControlPipeline(EasyAnimatePipeline):
         rope = build_rope(cfg, height, width, shape[2],
                           vae_scale=self.vae_cfg.spatial_compression)
         denoise = self._denoise_fn(num_inference_steps, float(guidance_scale),
-                                   float(guidance_rescale), False, 0)
+                                   float(guidance_rescale), False, 0,
+                                   scan_chunk=scan_chunk,
+                                   cfg_split=cfg_split)
         latents = denoise(self.transformer_params, latents, txt, None, rope,
                           cond)
         if output_type == "latent":

@@ -86,6 +86,7 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         clip_attention_mask: Optional[jnp.ndarray] = None,
         clip_apply_ratio: float = 0.40,
         scan_chunk: Optional[int] = None,
+        cfg_split: bool = False,
         **kw,
     ):
         cfg = self.mmdit_cfg
@@ -197,7 +198,7 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
             clip_apply_ratio=(float(clip_apply_ratio)
                               if clip_encoder_hidden_states is not None
                               else None),
-            scan_chunk=scan_chunk)
+            scan_chunk=scan_chunk, cfg_split=cfg_split)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           cond)
         if output_type == "latent":

@@ -80,6 +80,26 @@ def test_i2v_inpaint_end_to_end(rng):
     assert np.isfinite(out).all()
 
 
+def test_i2v_inpaint_cfg_split_matches(rng):
+    """Sequential CFG slices the CFG-batched cond latents correctly:
+    identical output to the batched path through the inpaint pipeline."""
+    pipe, cfg, (h, w, vl) = _tiny_inpaint_pipe()
+    pos = jnp.asarray(
+        rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    video = jnp.asarray(rng.random((1, 3, vl, h, w)).astype(np.float32))
+    mask = np.ones((1, 1, vl, h, w), np.float32)
+    mask[:, :, 0] = 0.0
+    kw = dict(video=video, mask_video=jnp.asarray(mask), height=h, width=w,
+              video_length=vl, num_inference_steps=2, guidance_scale=3.0,
+              output_type="latent")
+    a = pipe(pos, neg, rng=jax.random.PRNGKey(5), **kw)
+    b = pipe(pos, neg, rng=jax.random.PRNGKey(5), cfg_split=True, **kw)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-4,
+                               rtol=1e-3)
+
+
 def test_t2v_through_inpaint_model(rng):
     """Pure T2V with an inpaint checkpoint: zero mask/masked latents."""
     pipe, cfg, (h, w, vl) = _tiny_inpaint_pipe()
