@@ -53,6 +53,10 @@ def infer_forward(controller, payload: dict) -> dict:
         seed=int(payload.get("seed_textbox", 43)),
         generation_method=payload.get("generation_method", "Video Generation"),
     )
+    if payload.get("sampler_dropdown"):
+        kwargs["sampler"] = payload["sampler_dropdown"]
+    if payload.get("denoise_strength"):
+        kwargs["denoise_strength"] = float(payload["denoise_strength"])
     if payload.get("start_image"):
         kwargs["start_image"] = decode_image_b64(payload["start_image"])
     if payload.get("end_image"):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..models.vae import gaussian_mode, vae_encode
 from .inpaint import resize_mask_to_latent
+from .schedulers import init_noise_sigma
 from .t2v import EasyAnimatePipeline, build_rope
 
 
@@ -40,6 +41,7 @@ class EasyAnimateControlPipeline(EasyAnimatePipeline):
         guidance_rescale: float = 0.0,
         rng: Optional[jax.Array] = None,
         output_type: str = "np",
+        teacache_threshold: Optional[float] = None,
         scan_chunk: Optional[int] = None,
         cfg_split: bool = False,
         **kw,
@@ -84,7 +86,9 @@ class EasyAnimateControlPipeline(EasyAnimatePipeline):
             control_latents = jnp.concatenate([control_latents, control_latents])
         cond = {"control_latents": control_latents}
 
-        latents = jax.random.normal(rng, shape, jnp.float32).astype(dt)
+        latents = (jax.random.normal(rng, shape, jnp.float32)
+                   * init_noise_sigma(self.scheduler, num_inference_steps)
+                   ).astype(dt)
         txt = prompt_embeds
         if do_cfg:
             txt = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
@@ -92,10 +96,11 @@ class EasyAnimateControlPipeline(EasyAnimatePipeline):
                           vae_scale=self.vae_cfg.spatial_compression)
         denoise = self._denoise_fn(num_inference_steps, float(guidance_scale),
                                    float(guidance_rescale), False, 0,
+                                   teacache_threshold,
                                    scan_chunk=scan_chunk,
                                    cfg_split=cfg_split)
         latents = denoise(self.transformer_params, latents, txt, None, rope,
-                          cond)
+                          cond, rng=jax.random.fold_in(rng, 0x5A))
         if output_type == "latent":
             return latents
         return self.decode_latents(latents)

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.vae import gaussian_mode, vae_encode
-from .schedulers import DDIMConfig, FlowMatchEulerConfig, ddim_add_noise
+from .schedulers import (DDIMConfig, EulerConfig, FlowMatchEulerConfig,
+                         ddim_add_noise, init_noise_sigma)
 from .t2v import EasyAnimatePipeline, build_rope
 
 
@@ -85,6 +86,7 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         clip_encoder_hidden_states: Optional[jnp.ndarray] = None,
         clip_attention_mask: Optional[jnp.ndarray] = None,
         clip_apply_ratio: float = 0.40,
+        teacache_threshold: Optional[float] = None,
         scan_chunk: Optional[int] = None,
         cfg_split: bool = False,
         **kw,
@@ -168,7 +170,8 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
 
         # --- initial latents ------------------------------------------------
         if is_strength_max or video_latents is None:
-            latents = noise
+            latents = noise * init_noise_sigma(self.scheduler,
+                                               num_inference_steps)
         else:
             per_step, sched_extras = self.schedule_arrays(
                 num_inference_steps, t_start)
@@ -176,6 +179,9 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
             if isinstance(self.scheduler, FlowMatchEulerConfig):
                 sigma0 = per_step[0, 1]
                 latents = (1.0 - sigma0) * video_latents + sigma0 * noise
+            elif isinstance(self.scheduler, EulerConfig):
+                # sigma-space V2V init (EulerDiscreteScheduler.add_noise)
+                latents = video_latents + per_step[0, 1] * noise
             else:
                 alphas_cumprod, _ = sched_extras
                 latents = ddim_add_noise(video_latents, noise,
@@ -195,12 +201,13 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         denoise = self._denoise_fn(
             num_inference_steps, float(guidance_scale),
             float(guidance_rescale), txt_t5 is not None, t_start,
+            teacache_threshold,
             clip_apply_ratio=(float(clip_apply_ratio)
                               if clip_encoder_hidden_states is not None
                               else None),
             scan_chunk=scan_chunk, cfg_split=cfg_split)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
-                          cond)
+                          cond, rng=jax.random.fold_in(rng, 0x5A))
         if output_type == "latent":
             return latents
         return self.decode_latents(latents)

@@ -12,6 +12,7 @@ import dataclasses
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -164,6 +165,183 @@ def ddim_add_noise(clean, noise, t, alphas_cumprod):
     return out.astype(clean.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Euler / Euler-Ancestral (sigma-space, diffusers EulerDiscreteScheduler /
+# EulerAncestralDiscreteScheduler parity). The reference serving layer offers
+# these as runtime-switchable samplers (ui.py:44-50, switch at :472;
+# api.py:97 `sampler_dropdown`).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerConfig(DDIMConfig):
+    """Euler discrete sampler in sigma space: sigma = sqrt((1-a)/a); model
+    inputs are pre-scaled by 1/sqrt(sigma^2+1) each step."""
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerAncestralConfig(EulerConfig):
+    """Euler-Ancestral: Euler step to sigma_down plus fresh noise sigma_up."""
+
+
+def euler_schedule(cfg: EulerConfig, num_inference_steps: int):
+    """Returns (timesteps [N] f32 desc, sigmas [N+1] f32, init_noise_sigma)."""
+    n = cfg.num_train_timesteps
+    if cfg.timestep_spacing == "linspace":
+        timesteps = np.linspace(0, n - 1, num_inference_steps,
+                                dtype=np.float64)[::-1]
+    elif cfg.timestep_spacing == "leading":
+        step_ratio = n // num_inference_steps
+        timesteps = (np.arange(num_inference_steps) * step_ratio
+                     ).round()[::-1].astype(np.float64)
+        timesteps = timesteps + cfg.steps_offset
+    elif cfg.timestep_spacing == "trailing":
+        step_ratio = n / num_inference_steps
+        timesteps = (np.round(np.arange(n, 0, -step_ratio)) - 1
+                     ).astype(np.float64)
+    else:
+        raise ValueError(cfg.timestep_spacing)
+    betas = make_betas(cfg)
+    ac = np.cumprod(1.0 - betas)
+    sigmas_full = ((1.0 - ac) / ac) ** 0.5
+    sigmas = np.interp(timesteps, np.arange(n), sigmas_full)
+    # diffusers rule: linspace/trailing use max sigma; leading (the SD
+    # default) uses sqrt(max^2 + 1)
+    if cfg.timestep_spacing in ("linspace", "trailing"):
+        init_noise_sigma = float(sigmas.max())
+    else:
+        init_noise_sigma = float((sigmas.max() ** 2 + 1.0) ** 0.5)
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+    return timesteps.astype(np.float32), sigmas, init_noise_sigma
+
+
+def euler_scale_model_input(sample: jnp.ndarray, sigma) -> jnp.ndarray:
+    """Model inputs are divided by sqrt(sigma^2+1) (variance-preserving view
+    of the sigma-space latent)."""
+    out = sample.astype(jnp.float32) / jnp.sqrt(sigma.astype(jnp.float32) ** 2
+                                                + 1.0)
+    return out.astype(sample.dtype)
+
+
+def _euler_x0(cfg, x, out, sigma):
+    if cfg.prediction_type == "epsilon":
+        return x - sigma * out
+    if cfg.prediction_type == "v_prediction":
+        return out * (-sigma / jnp.sqrt(sigma ** 2 + 1.0)) + x / (sigma ** 2 + 1.0)
+    if cfg.prediction_type == "sample":
+        return out
+    raise ValueError(cfg.prediction_type)
+
+
+def euler_step(cfg: EulerConfig, sample, model_output, sigma, sigma_next):
+    x = sample.astype(jnp.float32)
+    out = model_output.astype(jnp.float32)
+    sigma = sigma.astype(jnp.float32)
+    x0 = _euler_x0(cfg, x, out, sigma)
+    derivative = (x - x0) / sigma
+    prev = x + derivative * (sigma_next - sigma)
+    return prev.astype(sample.dtype)
+
+
+def euler_ancestral_step(cfg: EulerAncestralConfig, sample, model_output,
+                         sigma, sigma_next, noise):
+    x = sample.astype(jnp.float32)
+    out = model_output.astype(jnp.float32)
+    sigma = sigma.astype(jnp.float32)
+    sigma_next = sigma_next.astype(jnp.float32)
+    x0 = _euler_x0(cfg, x, out, sigma)
+    var = sigma_next ** 2 * (sigma ** 2 - sigma_next ** 2) / sigma ** 2
+    sigma_up = jnp.sqrt(jnp.maximum(var, 0.0))
+    sigma_down = jnp.sqrt(jnp.maximum(sigma_next ** 2 - sigma_up ** 2, 0.0))
+    derivative = (x - x0) / sigma
+    prev = x + derivative * (sigma_down - sigma)
+    prev = prev + noise.astype(jnp.float32) * sigma_up
+    return prev.astype(sample.dtype)
+
+
+# ---------------------------------------------------------------------------
+# PNDM (PLMS: linear multistep with lower-order warmup; diffusers
+# PNDMScheduler with skip_prk_steps=True, the mode every reference pipeline
+# runs). The counter==1 quirk -- the second eval re-steps from the FIRST
+# step's input with the averaged epsilon -- is preserved; all of its
+# data-dependence is precomputed host-side into per-eval rows.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PNDMConfig(DDIMConfig):
+    pass
+
+
+def pndm_schedule(cfg: PNDMConfig, num_inference_steps: int,
+                  t_start: int = 0):
+    """Per-EVAL rows [t_eval, t_step, t_prev, order_code, append, use_cur]
+    (num_inference_steps + 1 rows: the 2nd timestep is evaluated twice),
+    plus (alphas_cumprod, final_alpha).
+
+    order_code: 0 = 1st order, 1 = avg(new, prev) at the duplicated step,
+    2/3/4 = Adams-Bashforth of that order.
+
+    t_start > 0 (V2V strength) drops the largest t_start timesteps and
+    replays the warmup on the truncated schedule (a fresh counter, matching
+    a diffusers scheduler handed the truncated timestep list)."""
+    n = cfg.num_train_timesteps
+    step_ratio = n // num_inference_steps
+    ts = (np.arange(0, num_inference_steps) * step_ratio).round() + cfg.steps_offset
+    if t_start:
+        ts = ts[: len(ts) - t_start]
+    plms = np.concatenate([ts[:-1], ts[-2:-1], ts[-1:]])[::-1] \
+        if len(ts) > 1 else ts[::-1]
+    rows = []
+    for counter, t in enumerate(plms):
+        if counter == 1 and len(ts) > 1:
+            t_step, t_prev = t + step_ratio, t
+            order, append, use_cur = 1, 0, 1
+        else:
+            t_step, t_prev = t, t - step_ratio
+            append, use_cur = 1, 0
+            order = 0 if counter == 0 else min(counter, 4)
+        rows.append([t, t_step, t_prev, order, append, use_cur])
+    betas = make_betas(cfg)
+    alphas_cumprod = np.cumprod(1.0 - betas).astype(np.float32)
+    final_alpha = np.float32(1.0) if cfg.set_alpha_to_one else alphas_cumprod[0]
+    return (np.asarray(rows, np.float32), jnp.asarray(alphas_cumprod),
+            final_alpha)
+
+
+def pndm_prev_sample(cfg: PNDMConfig, sample, model_output, t, t_prev,
+                     alphas_cumprod, final_alpha):
+    """PNDM paper eq. 11 transfer (diffusers PNDMScheduler._get_prev_sample).
+    model_output must already be an epsilon (v_prediction converted)."""
+    x = sample.astype(jnp.float32)
+    eps = model_output.astype(jnp.float32)
+    a_t = alphas_cumprod[t]
+    a_prev = jnp.where(t_prev >= 0, alphas_cumprod[jnp.maximum(t_prev, 0)],
+                       final_alpha)
+    b_t = 1.0 - a_t
+    b_prev = 1.0 - a_prev
+    sample_coeff = jnp.sqrt(a_prev / a_t)
+    denom = a_t * jnp.sqrt(b_prev) + jnp.sqrt(a_t * b_t * a_prev)
+    prev = sample_coeff * x - (a_prev - a_t) * eps / denom
+    return prev.astype(sample.dtype)
+
+
+def pndm_combine(order_code, new_eps, ets):
+    """Blend the new epsilon with the history per the PLMS order. ets is
+    [4, ...] newest-first BEFORE this eval's append."""
+    e = new_eps.astype(jnp.float32)
+    ets = ets.astype(jnp.float32)
+
+    branches = [
+        lambda: e,
+        lambda: (e + ets[0]) / 2.0,
+        lambda: (3.0 * e - ets[0]) / 2.0,
+        lambda: (23.0 * e - 16.0 * ets[0] + 5.0 * ets[1]) / 12.0,
+        lambda: (55.0 * e - 59.0 * ets[0] + 37.0 * ets[1] - 9.0 * ets[2]) / 24.0,
+    ]
+    return jax.lax.switch(order_code, branches)
+
+
 def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
     """CFG rescale, arXiv:2305.08891 §3.4 (pipeline_easyanimate.py:101-112)."""
     axes = tuple(range(1, noise_cfg.ndim))
@@ -225,3 +403,49 @@ def dpm_solver_step(cfg: DPMSolverConfig, sample, model_output, t, t_prev,
     use_second = (step_index > 0) & (t_prev >= 0)
     new = jnp.where(use_second, second, first)
     return new.astype(sample.dtype), x0
+
+
+# ---------------------------------------------------------------------------
+# Sampler registry (reference ui.py:44-55 scheduler dicts)
+# ---------------------------------------------------------------------------
+
+SAMPLER_REGISTRY = {
+    "flow": FlowMatchEulerConfig,
+    "euler": EulerConfig,
+    "euler a": EulerAncestralConfig,
+    "dpm++": DPMSolverConfig,
+    "pndm": PNDMConfig,
+    "ddim": DDIMConfig,
+}
+
+
+def init_noise_sigma(sched, num_inference_steps: int) -> float:
+    """Initial latent scale (diffusers scheduler.init_noise_sigma): the
+    sigma-space Euler samplers start from sigma_max-scaled noise; every
+    other family starts at 1.0."""
+    if isinstance(sched, EulerConfig):
+        return euler_schedule(sched, num_inference_steps)[2]
+    return 1.0
+
+
+def make_scheduler(name: str, base=None, **overrides):
+    """Runtime sampler switching (reference ui.py:472
+    `all_cheduler_dict[sampler_dropdown].from_config(scheduler.config)`):
+    the new sampler inherits the base scheduler's beta/prediction config."""
+    key = name.strip().lower().replace("_", " ").replace("-", " ")
+    key = {"euler ancestral": "euler a", "dpm solver": "dpm++",
+           "dpm": "dpm++", "flow match": "flow"}.get(key, key)
+    if key not in SAMPLER_REGISTRY:
+        raise ValueError(f"unknown sampler {name!r}; one of "
+                         f"{sorted(SAMPLER_REGISTRY)}")
+    cls = SAMPLER_REGISTRY[key]
+    if cls is FlowMatchEulerConfig:
+        if isinstance(base, FlowMatchEulerConfig):
+            return dataclasses.replace(base, **overrides)
+        return FlowMatchEulerConfig(**overrides)
+    fields = {}
+    if isinstance(base, DDIMConfig):
+        fields = {f.name: getattr(base, f.name)
+                  for f in dataclasses.fields(DDIMConfig)}
+    fields.update(overrides)
+    return cls(**fields)

@@ -32,12 +32,23 @@ from ..ops.rope import (
 from .schedulers import (
     DDIMConfig,
     DPMSolverConfig,
+    EulerAncestralConfig,
+    EulerConfig,
     FlowMatchEulerConfig,
+    PNDMConfig,
     ddim_schedule,
     ddim_step,
     dpm_solver_step,
+    euler_ancestral_step,
+    euler_scale_model_input,
+    euler_schedule,
+    euler_step,
     flow_match_schedule,
     flow_match_step,
+    init_noise_sigma,
+    pndm_combine,
+    pndm_prev_sample,
+    pndm_schedule,
     rescale_noise_cfg,
 )
 
@@ -129,8 +140,10 @@ class EasyAnimatePipeline:
         shape = self.latent_shape(b, video_length, height, width)
         if latents is None:
             latents = jax.random.normal(rng, shape, jnp.float32)
-            if isinstance(self.scheduler, DDIMConfig):
-                pass  # DDIM init_noise_sigma == 1.0
+            # sigma-space samplers start from sigma_max-scaled noise
+            # (diffusers init_noise_sigma; == 1.0 for flow/DDIM/DPM/PNDM)
+            latents = latents * init_noise_sigma(self.scheduler,
+                                                 num_inference_steps)
         latents = latents.astype(self.mmdit_cfg.jdtype)
 
         txt = prompt_embeds
@@ -148,7 +161,7 @@ class EasyAnimatePipeline:
             float(guidance_rescale), txt_t5 is not None, 0,
             teacache_threshold, scan_chunk=scan_chunk, cfg_split=cfg_split)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
-                          {})
+                          {}, rng=jax.random.fold_in(rng, 0x5A))
 
         if output_type == "latent" or not decode:
             return latents
@@ -156,15 +169,24 @@ class EasyAnimatePipeline:
 
     # -- compiled pieces ----------------------------------------------------
 
-    def schedule_arrays(self, steps: int, t_start: int = 0):
-        """Per-step scan inputs [(t, a, b)]; a/b are (sigma, sigma_next) for
-        flow or (t_prev, unused) for DDIM. t_start implements `strength`
+    def schedule_arrays(self, steps: int, t_start: int = 0, sched=None):
+        """Per-step scan inputs; column schema depends on the sampler family
+        (flow/Euler: (t, sigma, sigma_next); DDIM/DPM: (t, t_prev, 0); PNDM:
+        the 6-column pndm_schedule rows). t_start implements `strength`
         (get_timesteps, pipeline_easyanimate_inpaint.py:760-767)."""
-        sched = self.scheduler
+        sched = self.scheduler if sched is None else sched
         if isinstance(sched, FlowMatchEulerConfig):
             timesteps, sigmas = flow_match_schedule(sched, steps, mu=1.0)
             per_step = np.stack([timesteps, sigmas[:-1], sigmas[1:]], axis=1)
             extras = None
+        elif isinstance(sched, EulerConfig):  # incl. EulerAncestralConfig
+            timesteps, sigmas, _ = euler_schedule(sched, steps)
+            per_step = np.stack([timesteps, sigmas[:-1], sigmas[1:]], axis=1)
+            extras = None
+        elif isinstance(sched, PNDMConfig):
+            rows, alphas_cumprod, final_alpha = pndm_schedule(
+                sched, steps, t_start)
+            return jnp.asarray(rows), (alphas_cumprod, final_alpha)
         elif isinstance(sched, DDIMConfig):
             t_arr, alphas_cumprod, final_alpha = ddim_schedule(sched, steps)
             t_prev = np.concatenate(
@@ -177,19 +199,34 @@ class EasyAnimatePipeline:
             raise TypeError(f"unknown scheduler {type(sched)}")
         return jnp.asarray(per_step[t_start:]), extras
 
-    @functools.lru_cache(maxsize=16)
     def _denoise_fn(self, steps: int, guidance_scale: float,
                     guidance_rescale: float, has_t5: bool, t_start: int = 0,
                     teacache_threshold: Optional[float] = None,
                     clip_apply_ratio: Optional[float] = None,
                     scan_chunk: Optional[int] = None,
                     cfg_split: bool = False):
-        sched = self.scheduler
+        # the live scheduler enters the cache key so runtime sampler
+        # switching (controller.generate sampler=..., reference ui.py:472)
+        # rebuilds the compiled loop
+        return self._denoise_fn_for(
+            self.scheduler, steps, guidance_scale, guidance_rescale, has_t5,
+            t_start, teacache_threshold, clip_apply_ratio, scan_chunk,
+            cfg_split)
+
+    @functools.lru_cache(maxsize=16)
+    def _denoise_fn_for(self, sched, steps: int, guidance_scale: float,
+                        guidance_rescale: float, has_t5: bool,
+                        t_start: int = 0,
+                        teacache_threshold: Optional[float] = None,
+                        clip_apply_ratio: Optional[float] = None,
+                        scan_chunk: Optional[int] = None,
+                        cfg_split: bool = False):
         model = self.transformer
         latent_channels = self.vae_cfg.latent_channels
         do_cfg = guidance_scale > 1.0
-        per_step, sched_extras = self.schedule_arrays(steps, t_start)
-        if isinstance(sched, DDIMConfig):
+        per_step, sched_extras = self.schedule_arrays(steps, t_start, sched)
+        if (isinstance(sched, (DDIMConfig,))
+                and not isinstance(sched, EulerConfig)):
             alphas_cumprod, final_alpha = sched_extras
         n_steps = per_step.shape[0]
         # per-step inputs gain a step-index column (for TeaCache endpoints)
@@ -202,7 +239,7 @@ class EasyAnimatePipeline:
                     and "clip_encoder_hidden_states" in cond):
                 # zero CLIP conditioning for the first (1 - ratio) of the
                 # schedule (pipeline_easyanimate_inpaint.py:1509-1515)
-                gate = step[3] >= (1.0 - clip_apply_ratio) * n_steps
+                gate = step[-1] >= (1.0 - clip_apply_ratio) * n_steps
                 cond = dict(cond)
                 cond["clip_encoder_hidden_states"] = jnp.where(
                     gate, cond["clip_encoder_hidden_states"], 0.0)
@@ -245,7 +282,7 @@ class EasyAnimatePipeline:
                                  1e-8))
             poly = jnp.polyval(jnp.asarray(TEACACHE_COEFFICIENTS), rel)
             acc_new = acc + poly
-            idx = step[3]
+            idx = step[-1]
             endpoint = (idx == 0) | (idx == n_steps - 1)
             should = endpoint | (acc_new >= teacache_threshold)
             acc_out = jnp.where(should, 0.0, acc_new)
@@ -264,15 +301,16 @@ class EasyAnimatePipeline:
             pred = model.apply(params, vid_out, t_, hh, ww, method="head")
             return pred, (mod, res, acc_out)
 
-        def scan_segment(params, carry, seg_steps, txt, txt_t5, rope, cond):
+        def scan_segment(params, carry, seg_steps, txt, txt_t5, rope, cond,
+                         sample_rng):
             def body(carry, step):
-                lat, tea, prev_x0 = carry
-                if isinstance(sched, FlowMatchEulerConfig):
-                    t, sigma, sigma_next = step[0], step[1], step[2]
-                else:
-                    t, t_prev = step[0].astype(jnp.int32), step[1].astype(jnp.int32)
-                pred, tea = forward(params, lat, step, txt, txt_t5, rope,
-                                    cond, tea)
+                lat, tea, extra = carry
+                # Euler-family latents live in sigma space: scale the model
+                # input by 1/sqrt(sigma^2+1) (diffusers scale_model_input)
+                lat_model = (euler_scale_model_input(lat, step[1])
+                             if isinstance(sched, EulerConfig) else lat)
+                pred, tea = forward(params, lat_model, step, txt, txt_t5,
+                                    rope, cond, tea)
                 if pred.shape[1] != latent_channels:   # learned sigma
                     pred = pred[:, :latent_channels]
                 if do_cfg:
@@ -281,23 +319,63 @@ class EasyAnimatePipeline:
                     if guidance_rescale > 0:
                         pred = rescale_noise_cfg(pred, text, guidance_rescale)
                 if isinstance(sched, FlowMatchEulerConfig):
-                    lat = flow_match_step(lat, pred, sigma, sigma_next)
+                    lat = flow_match_step(lat, pred, step[1], step[2])
+                elif isinstance(sched, EulerAncestralConfig):
+                    noise = jax.random.normal(
+                        jax.random.fold_in(sample_rng,
+                                           step[-1].astype(jnp.int32)),
+                        lat.shape, jnp.float32)
+                    lat = euler_ancestral_step(sched, lat, pred, step[1],
+                                               step[2], noise)
+                elif isinstance(sched, EulerConfig):
+                    lat = euler_step(sched, lat, pred, step[1], step[2])
+                elif isinstance(sched, PNDMConfig):
+                    ets, cur = extra
+                    eps = pred.astype(jnp.float32)
+                    if sched.prediction_type == "v_prediction":
+                        a_t = alphas_cumprod[step[0].astype(jnp.int32)]
+                        eps = (jnp.sqrt(a_t) * eps
+                               + jnp.sqrt(1.0 - a_t)
+                               * lat.astype(jnp.float32))
+                    order = step[3].astype(jnp.int32)
+                    out = pndm_combine(order, eps, ets)
+                    ets = jnp.where(step[4] > 0.5,
+                                    jnp.concatenate([eps[None], ets[:3]]),
+                                    ets)
+                    lat32 = lat.astype(jnp.float32)
+                    sample_used = jnp.where(step[5] > 0.5, cur, lat32)
+                    cur = jnp.where(step[-1] == 0, lat32, cur)
+                    lat = pndm_prev_sample(
+                        sched, sample_used, out, step[1].astype(jnp.int32),
+                        step[2].astype(jnp.int32), alphas_cumprod,
+                        final_alpha).astype(lat.dtype)
+                    extra = (ets, cur)
                 elif isinstance(sched, DPMSolverConfig):
-                    lat, prev_x0 = dpm_solver_step(
-                        sched, lat, pred, t, t_prev, prev_x0,
-                        step[3].astype(jnp.int32), alphas_cumprod)
+                    lat, extra = dpm_solver_step(
+                        sched, lat, pred, step[0].astype(jnp.int32),
+                        step[1].astype(jnp.int32), extra,
+                        step[-1].astype(jnp.int32), alphas_cumprod)
                 else:
-                    lat = ddim_step(sched, lat, pred, t, t_prev,
+                    lat = ddim_step(sched, lat, pred,
+                                    step[0].astype(jnp.int32),
+                                    step[1].astype(jnp.int32),
                                     alphas_cumprod, final_alpha)
-                return (lat, tea, prev_x0), None
+                return (lat, tea, extra), None
 
             return jax.lax.scan(body, carry, seg_steps)[0]
 
         seg_jit = jax.jit(scan_segment, donate_argnums=(1,))
 
-        def run(params, latents, txt, txt_t5, rope, cond):
-            prev_x0 = (jnp.zeros_like(latents, jnp.float32)
-                       if isinstance(sched, DPMSolverConfig) else None)
+        def run(params, latents, txt, txt_t5, rope, cond, rng=None):
+            if isinstance(sched, DPMSolverConfig):
+                extra0 = jnp.zeros_like(latents, jnp.float32)
+            elif isinstance(sched, PNDMConfig):
+                extra0 = (jnp.zeros((4, *latents.shape), jnp.float32),
+                          jnp.zeros(latents.shape, jnp.float32))
+            else:
+                extra0 = None
+            if rng is None and isinstance(sched, EulerAncestralConfig):
+                rng = jax.random.PRNGKey(0)
             if teacache_threshold is not None:
                 b = latents.shape[0] * (2 if do_cfg else 1)
                 s_vid = ((latents.shape[3] // self.mmdit_cfg.patch_size)
@@ -312,7 +390,7 @@ class EasyAnimatePipeline:
                 tea0 = None
             # the segments donate their carry; copy so the caller's latents
             # buffer survives (it may be reused across calls)
-            carry = (jnp.copy(latents), tea0, prev_x0)
+            carry = (jnp.copy(latents), tea0, extra0)
             # Chunk the schedule into bounded-runtime device programs: a
             # single program running for minutes can exceed the TPU runtime's
             # execution deadline (observed on tunneled single-chip setups as
@@ -323,7 +401,7 @@ class EasyAnimatePipeline:
             c = scan_chunk if scan_chunk else n
             for k in range(0, n, c):
                 carry = seg_jit(params, carry, per_step[k:k + c], txt,
-                                txt_t5, rope, cond)
+                                txt_t5, rope, cond, rng)
             return carry[0]
 
         return run

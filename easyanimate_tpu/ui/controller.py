@@ -133,8 +133,16 @@ class EasyAnimateController:
         end_image: Optional[np.ndarray] = None,
         source_video: Optional[np.ndarray] = None,
         denoise_strength: float = 0.7,
+        sampler: Optional[str] = None,
         **kw,
     ) -> np.ndarray:
+        if sampler:
+            # runtime sampler switch (reference ui.py:472: the dropdown
+            # rebuilds the scheduler from the live scheduler's config)
+            from ..pipeline.schedulers import make_scheduler
+
+            self.pipeline.scheduler = make_scheduler(
+                sampler, base=self.pipeline.scheduler)
         pos, neg, extra = self._embeds(prompt, negative_prompt)
         kw = {**extra, **kw}
         rng = jax.random.PRNGKey(seed)

@@ -218,3 +218,57 @@ def test_v4_hunyuan_i2v_pipeline_with_clip(rng):
         clip_attention_mask=jnp.ones((1, 4)))
     assert out.shape == (1, 3, 5, h, w)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_inpaint_teacache_never_skip_matches_baseline(rng):
+    """TeaCache threaded through the inpaint pipeline (reference enables it
+    transformer-level so EVERY pipeline accelerates, transformer3d.py:
+    1485-1491): an always-calc threshold must reproduce the plain path."""
+    pipe, cfg, (h, w, vl) = _tiny_inpaint_pipe()
+    pos = jnp.asarray(
+        rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    video = jnp.asarray(rng.random((1, 3, vl, h, w)).astype(np.float32))
+    mask = np.ones((1, 1, vl, h, w), np.float32)
+    mask[:, :, 0] = 0.0
+    kw = dict(video=video, mask_video=jnp.asarray(mask), height=h, width=w,
+              video_length=vl, num_inference_steps=3, guidance_scale=3.0,
+              output_type="latent")
+    base = pipe(pos, neg, rng=jax.random.PRNGKey(5), **kw)
+    tea = pipe(pos, neg, rng=jax.random.PRNGKey(5),
+               teacache_threshold=-1e9, **kw)
+    np.testing.assert_allclose(np.asarray(tea), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+    # and the skipping path runs + diverges (interior steps reuse residual)
+    skip = pipe(pos, neg, rng=jax.random.PRNGKey(5),
+                teacache_threshold=1e9, **kw)
+    assert np.isfinite(np.asarray(skip)).all()
+    assert np.abs(np.asarray(skip) - np.asarray(base)).max() > 1e-6
+
+
+def test_control_teacache_never_skip_matches_baseline(rng):
+    import dataclasses as dc
+    from easyanimate_tpu.pipeline.control import EasyAnimateControlPipeline
+    cfg = dc.replace(PRESETS["tiny"], in_channels=8, out_channels=4)
+    transformer = EasyAnimateTransformer3D(cfg)
+    vae = AutoencoderKLMagvit(TINY_VAE)
+    h = w = 32
+    lat = jnp.zeros((1, 4, 3, h // 2, w // 2))
+    ctl = jnp.zeros((1, 4, 3, h // 2, w // 2))
+    txt = jnp.zeros((1, 6, cfg.text_embed_dim))
+    tp = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                          None, control_latents=ctl)
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = EasyAnimateControlPipeline(
+        transformer=transformer, vae=vae, transformer_params=tp, vae_params=vp)
+    pos = jnp.asarray(
+        rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    control_video = jnp.asarray(rng.random((1, 3, 5, h, w)).astype(np.float32))
+    kw = dict(control_video=control_video, height=h, width=w, video_length=5,
+              num_inference_steps=3, guidance_scale=3.0, output_type="latent")
+    base = pipe(pos, neg, rng=jax.random.PRNGKey(2), **kw)
+    tea = pipe(pos, neg, rng=jax.random.PRNGKey(2),
+               teacache_threshold=-1e9, **kw)
+    np.testing.assert_allclose(np.asarray(tea), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
