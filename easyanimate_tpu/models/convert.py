@@ -34,6 +34,22 @@ def _conv3d(w):
     return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
 
 
+def _conv1x1x1(w):
+    """torch Conv3d 1x1x1 weight (O, I, 1, 1, 1) -> Dense kernel (I, O)."""
+    return _t(w[:, :, 0, 0, 0])
+
+
+# inverse transforms (flax layout -> torch layout), keyed by the forward fn
+_INVERSE = {
+    None: lambda w: np.ascontiguousarray(w),
+    _t: _t,
+    _conv2d: lambda w: np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1))),
+    _conv3d: lambda w: np.ascontiguousarray(np.transpose(w, (4, 3, 0, 1, 2))),
+    _conv1x1x1: lambda w: np.ascontiguousarray(
+        np.transpose(w)[:, :, None, None, None]),
+}
+
+
 def _nest(flat: Dict[str, np.ndarray]):
     import flax
 
@@ -80,9 +96,8 @@ def _block_mapping(src_prefix: str):
     return {src_prefix + k: v for k, v in m.items()}
 
 
-def convert_mmdit_state_dict(sd: Dict[str, np.ndarray], cfg: MMDiTConfig):
-    """-> {'params': ...} flax variables for EasyAnimateTransformer3D."""
-    flat: Dict[str, np.ndarray] = {}
+def _mmdit_top_mapping(cfg: MMDiTConfig) -> Dict[str, tuple]:
+    """reference non-block key -> (flax tree key, forward transform)."""
     top = {
         "time_embedding.linear_1.weight": ("time_embedding/linear_1/kernel", _t),
         "time_embedding.linear_1.bias": ("time_embedding/linear_1/bias", None),
@@ -119,6 +134,13 @@ def convert_mmdit_state_dict(sd: Dict[str, np.ndarray], cfg: MMDiTConfig):
             "text_proj_t5.weight": ("text_proj_t5/kernel", _t),
             "text_proj_t5.bias": ("text_proj_t5/bias", None),
         })
+    return top
+
+
+def convert_mmdit_state_dict(sd: Dict[str, np.ndarray], cfg: MMDiTConfig):
+    """-> {'params': ...} flax variables for EasyAnimateTransformer3D."""
+    flat: Dict[str, np.ndarray] = {}
+    top = _mmdit_top_mapping(cfg)
 
     consumed = set()
     for src, (dst, fn) in top.items():
@@ -184,8 +206,7 @@ def _vae_res(src, dst):
         f"{src}.norm2.bias": (f"{dst}/norm2/bias", None),
         f"{src}.conv2.weight": (f"{dst}/conv2/kernel", _conv3d),
         f"{src}.conv2.bias": (f"{dst}/conv2/bias", None),
-        f"{src}.shortcut.weight": (f"{dst}/shortcut/kernel",
-                                   lambda w: _t(w[:, :, 0, 0, 0])),
+        f"{src}.shortcut.weight": (f"{dst}/shortcut/kernel", _conv1x1x1),
         f"{src}.shortcut.bias": (f"{dst}/shortcut/bias", None),
     }
 
@@ -203,8 +224,8 @@ def _vae_attn(src, dst):
     return m
 
 
-def convert_vae_state_dict(sd: Dict[str, np.ndarray], cfg: MagvitVAEConfig):
-    """-> {'params': ...} for AutoencoderKLMagvit."""
+def _magvit_mapping(cfg: MagvitVAEConfig) -> Dict[str, tuple]:
+    """reference state-dict key -> (flax tree key, forward transform)."""
     mapping: Dict[str, tuple] = {}
 
     def half(side: str, block_types, n_blocks_name):
@@ -263,13 +284,17 @@ def convert_vae_state_dict(sd: Dict[str, np.ndarray], cfg: MagvitVAEConfig):
     half("encoder", cfg.down_block_types, "down")
     half("decoder", cfg.up_block_types, "up")
     mapping.update({
-        "quant_conv.weight": ("quant_conv/kernel", lambda w: _t(w[:, :, 0, 0, 0])),
+        "quant_conv.weight": ("quant_conv/kernel", _conv1x1x1),
         "quant_conv.bias": ("quant_conv/bias", None),
-        "post_quant_conv.weight": ("post_quant_conv/kernel",
-                                   lambda w: _t(w[:, :, 0, 0, 0])),
+        "post_quant_conv.weight": ("post_quant_conv/kernel", _conv1x1x1),
         "post_quant_conv.bias": ("post_quant_conv/bias", None),
     })
+    return mapping
 
+
+def convert_vae_state_dict(sd: Dict[str, np.ndarray], cfg: MagvitVAEConfig):
+    """-> {'params': ...} for AutoencoderKLMagvit."""
+    mapping = _magvit_mapping(cfg)
     flat, consumed = {}, set()
     for src, (dst, fn) in mapping.items():
         if src in sd:
@@ -415,3 +440,169 @@ def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray], cfg):
     if leftover:
         raise ValueError(f"unmapped CogVideoX keys: {sorted(leftover)[:8]}...")
     return {"params": _nest(flat)}
+
+
+# ---------------------------------------------------------------------------
+# Export: flax param trees -> reference (diffusers-layout) state dicts.
+# The reference ecosystem consumes diffusers-format safetensors shards
+# (scripts/train.py:1121-1167 save hooks; transformer3d.py:1691-1809 layout),
+# so a model trained here exports losslessly back to it.
+# ---------------------------------------------------------------------------
+
+
+def _flatten_params(variables) -> Dict[str, np.ndarray]:
+    import flax
+
+    params = variables.get("params", variables)
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    out = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if v.dtype == np.dtype("bfloat16"):
+            v = v.astype(np.float32)
+        out[k] = v
+    return out
+
+
+def export_mmdit_state_dict(variables, cfg: MMDiTConfig) -> Dict[str, np.ndarray]:
+    """EasyAnimateTransformer3D params -> reference transformer state dict
+    (inverse of convert_mmdit_state_dict; exact key-set round trip).
+
+    int8-serving trees (linear_quant='int8') are not exportable -- train/EMA
+    trees are float; quantization is a serving-time transform."""
+    if cfg.linear_quant:
+        raise ValueError("export needs a float tree; int8 serving params "
+                         "cannot be converted back losslessly")
+    flat = _flatten_params(variables)
+    out: Dict[str, np.ndarray] = {}
+
+    for src, (dst, fn) in _mmdit_top_mapping(cfg).items():
+        if dst in flat:
+            out[src] = _INVERSE[fn](flat.pop(dst))
+
+    def unstack_layers(first: int, count: int, prefix: str):
+        mapping = _block_mapping("")
+        for src_suffix, (dst_suffix, fn) in mapping.items():
+            key = f"{prefix}/{dst_suffix}"
+            if key not in flat:
+                continue
+            stack = flat.pop(key)
+            assert stack.shape[0] == count, (key, stack.shape, count)
+            for i in range(count):
+                out[f"transformer_blocks.{first + i}.{src_suffix}"] = (
+                    _INVERSE[fn](stack[i]))
+
+    def copy_layer(i: int, prefix: str):
+        mapping = _block_mapping("")
+        for src_suffix, (dst_suffix, fn) in mapping.items():
+            key = f"{prefix}/{dst_suffix}"
+            if key in flat:
+                out[f"transformer_blocks.{i}.{src_suffix}"] = (
+                    _INVERSE[fn](flat.pop(key)))
+
+    if cfg.scan_layers and cfg.homogeneous:
+        unstack_layers(0, cfg.num_layers, "blocks/block")
+    elif cfg.scan_layers:
+        layer = 0
+        for k, (_, _, count) in enumerate(cfg.segments()):
+            if count > 1:
+                unstack_layers(layer, count, f"blocks_seg{k}/block")
+            else:
+                copy_layer(layer, f"block{layer}")
+            layer += count
+    else:
+        for i in range(cfg.num_layers):
+            copy_layer(i, f"block{i}")
+
+    if flat:
+        raise ValueError(
+            f"unexported flax params: {sorted(flat)[:8]}... -- the export "
+            "mapping must cover the whole tree")
+    return out
+
+
+def export_vae_state_dict(variables, cfg: MagvitVAEConfig) -> Dict[str, np.ndarray]:
+    """AutoencoderKLMagvit params -> reference VAE state dict (inverse of
+    convert_vae_state_dict)."""
+    flat = _flatten_params(variables)
+    out: Dict[str, np.ndarray] = {}
+    for src, (dst, fn) in _magvit_mapping(cfg).items():
+        if dst in flat:
+            out[src] = _INVERSE[fn](flat.pop(dst))
+    if flat:
+        raise ValueError(f"unexported VAE params: {sorted(flat)[:8]}...")
+    return out
+
+
+def _mmdit_config_json(cfg: MMDiTConfig) -> Dict:
+    """MMDiTConfig -> reference transformer config.json fields (the inverse
+    of loader.mmdit_config_from_json)."""
+    return {
+        "_class_name": "EasyAnimateTransformer3DModel",
+        "num_attention_heads": cfg.num_attention_heads,
+        "attention_head_dim": cfg.attention_head_dim,
+        "in_channels": cfg.in_channels,
+        "out_channels": cfg.out_channels,
+        "patch_size": cfg.patch_size,
+        "num_layers": cfg.num_layers,
+        "mmdit_layers": cfg.mmdit_layers,
+        "swa_layers": list(cfg.swa_layers) if cfg.swa_layers else None,
+        "time_embed_dim": cfg.time_embed_dim,
+        "text_embed_dim": cfg.text_embed_dim,
+        "text_embed_dim_t5": cfg.text_embed_dim_t5,
+        "add_norm_text_encoder": cfg.add_norm_text_encoder,
+        "after_norm": cfg.after_norm,
+        "norm_eps": cfg.norm_eps,
+        "time_position_encoding_type": cfg.time_position_encoding_type,
+        "ref_channels": cfg.ref_channels,
+        "clip_channels": cfg.clip_channels,
+        "add_ref_latent_in_control_model": cfg.add_ref_latent_in_control_model,
+        "resize_inpaint_mask_directly": cfg.resize_inpaint_mask_directly,
+        "add_noise_in_inpaint_model": cfg.add_noise_in_inpaint_model,
+    }
+
+
+def save_reference_checkpoint(directory: str, state_dict: Dict[str, np.ndarray],
+                              config_json: Dict = None,
+                              max_shard_bytes: int = 30 * 10 ** 9,
+                              weights_name: str =
+                              "diffusion_pytorch_model.safetensors"):
+    """Write a diffusers-layout folder: config.json + safetensors shard(s)
+    with the standard `.index.json` weight map when sharded (reference
+    save_pretrained(max_shard_size="30GB"), scripts/train.py:1126)."""
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(directory, exist_ok=True)
+    if config_json is not None:
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(config_json, f, indent=2)
+
+    shards, cur, cur_bytes = [], {}, 0
+    for k in sorted(state_dict):
+        v = state_dict[k]
+        if cur and cur_bytes + v.nbytes > max_shard_bytes:
+            shards.append(cur)
+            cur, cur_bytes = {}, 0
+        cur[k] = v
+        cur_bytes += v.nbytes
+    shards.append(cur)
+
+    if len(shards) == 1:
+        save_file(shards[0], os.path.join(directory, weights_name))
+        return [weights_name]
+    stem, ext = weights_name.rsplit(".", 1)
+    names, weight_map, total = [], {}, 0
+    for i, shard in enumerate(shards):
+        name = f"{stem}-{i + 1:05d}-of-{len(shards):05d}.{ext}"
+        save_file(shard, os.path.join(directory, name))
+        names.append(name)
+        for k, v in shard.items():
+            weight_map[k] = name
+            total += v.nbytes
+    with open(os.path.join(directory, f"{weights_name}.index.json"), "w") as f:
+        json.dump({"metadata": {"total_size": total},
+                   "weight_map": weight_map}, f, indent=2)
+    return names

@@ -235,11 +235,16 @@ def swa_attention_streams(
     cross_txt, cross_vid = cross[:, :, :st], cross[:, :, st:]
 
     # local 6-direction pass over video tokens only; all head groups share
-    # the same window so their permuted tokens batch into ONE kernel call
+    # the same window so their permuted tokens batch into ONE kernel call.
+    # Head split follows torch.tensor_split(q, 6, dim=heads)
+    # (processor.py:398): the FIRST (nh % 6) groups carry the extra head.
     groups = 6
-    gh = nh // groups
-    slices = [slice(g * gh, (g + 1) * gh) for g in range(groups - 1)]
-    slices.append(slice((groups - 1) * gh, nh))
+    base, rem = divmod(nh, groups)
+    off, slices = 0, []
+    for g in range(groups):
+        size = base + (1 if g < rem else 0)
+        slices.append(slice(off, off + size))
+        off += size
     perm = lambda a, sl, order: _permute_tokens(
         a[:, sl], num_frames, height, width, order)
     qq = jnp.concatenate([perm(q_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)

@@ -52,6 +52,30 @@ class CheckpointManager:
             victim = steps.pop(0)
             shutil.rmtree(self._path(victim), ignore_errors=True)
 
+    def save_reference_format(self, step: int, transformer_variables,
+                              mmdit_cfg, ema_variables=None):
+        """Additionally export the transformer in the REFERENCE's
+        diffusers-layout format (config.json + safetensors shards) so
+        TPU-trained weights flow straight back into the reference ecosystem
+        (predict scripts / ComfyUI / HF hub). Mirrors the reference save
+        hook writing `transformer/` (+ `transformer_ema/`) subfolders
+        (scripts/train.py:1121-1167)."""
+        from ..models.convert import (_mmdit_config_json,
+                                      export_mmdit_state_dict,
+                                      save_reference_checkpoint)
+
+        path = self._path(step)
+        os.makedirs(path, exist_ok=True)
+        cfg_json = _mmdit_config_json(mmdit_cfg)
+        save_reference_checkpoint(
+            os.path.join(path, "transformer"),
+            export_mmdit_state_dict(transformer_variables, mmdit_cfg),
+            cfg_json)
+        if ema_variables is not None:
+            save_reference_checkpoint(
+                os.path.join(path, "transformer_ema"),
+                export_mmdit_state_dict(ema_variables, mmdit_cfg), cfg_json)
+
     def restore_latest(self, template: Any):
         """Returns (state, sampler_state, step) or (None, None, None).
         Falls back to the previous checkpoint if the latest fails to load."""

@@ -6,9 +6,10 @@ Parity targets in video_caption/:
   compute_semantic_consistency.py  CLIP/DINO keyframe cosine similarity
   utils/image_evaluator.py     aesthetic predictor (siglip head)
 
-Deps policy: optical flow runs on cv2 (present). OCR/CLIP/aesthetic need
-model weights that cannot be downloaded here, so those accept a pluggable
-embed/ocr callable and raise a clear error when none is given.
+Deps policy: optical flow runs on cv2 (present). The OCR text score has a
+weight-free cv2 default (default_text_boxes) with easyocr as the pluggable
+upgrade; CLIP/aesthetic need model weights, so they accept a pluggable
+embed callable and raise a clear error when none is given.
 """
 from typing import Callable, List, Optional, Sequence
 
@@ -52,12 +53,47 @@ def compute_motion_score(video_path: str, sample_fps: int = 2,
     return float(np.mean(mags)) if mags else 0.0
 
 
+def default_text_boxes(frame_rgb: np.ndarray) -> List[tuple]:
+    """Weight-free text-line detection: morphological gradient (stroke
+    edges) -> Otsu binarize -> wide horizontal close (connect glyphs into
+    lines) -> connected components filtered by text-line geometry.
+
+    This is the in-repo default behind compute_text_score so the reference's
+    text-area filter (video_caption/compute_text_score.py) runs without
+    easyocr weights; easyocr (or any ocr_fn) remains the drop-in upgrade.
+    Returns (x0, y0, x1, y1) line boxes."""
+    import cv2
+
+    gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
+    h, _ = gray.shape
+    grad = cv2.morphologyEx(
+        gray, cv2.MORPH_GRADIENT,
+        cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3)))
+    _, bw = cv2.threshold(grad, 0, 255, cv2.THRESH_BINARY | cv2.THRESH_OTSU)
+    closed = cv2.morphologyEx(
+        bw, cv2.MORPH_CLOSE,
+        cv2.getStructuringElement(cv2.MORPH_RECT, (15, 3)))
+    n, _, stats, _ = cv2.connectedComponentsWithStats(closed, 8)
+    out = []
+    for i in range(1, n):
+        x, y, bw_, bh, area = stats[i]
+        if bh < 8 or bh > 0.2 * h:        # not text-line sized
+            continue
+        if bw_ < 2.0 * bh:                # lines are wide
+            continue
+        if area / float(bw_ * bh) < 0.3:  # sparse component = texture
+            continue
+        out.append((int(x), int(y), int(x + bw_), int(y + bh)))
+    return out
+
+
 def compute_text_score(video_path: str,
                        ocr_fn: Optional[Callable] = None) -> float:
-    """Mean fraction of frame area covered by detected text boxes.
+    """Mean fraction of frame area covered by detected text boxes
+    (compute_text_score.py parity).
 
     ocr_fn(frame_rgb) -> list of (x0, y0, x1, y1) boxes; defaults to easyocr
-    when importable."""
+    when importable, else the weight-free cv2 MSER detector."""
     if ocr_fn is None:
         try:
             import easyocr  # type: ignore
@@ -71,9 +107,8 @@ def compute_text_score(video_path: str,
                     ys = [p[1] for p in box]
                     out.append((min(xs), min(ys), max(xs), max(ys)))
                 return out
-        except ImportError as e:
-            raise RuntimeError(
-                "text score needs easyocr or an ocr_fn callable") from e
+        except ImportError:
+            ocr_fn = default_text_boxes
     fracs = []
     for f in _sample_frames(video_path, num=4):
         area = f.shape[0] * f.shape[1]

@@ -108,3 +108,129 @@ def test_segmented_scan_matches_loop(rng):
     temb = jnp.asarray(rng.standard_normal((1, base.inner_dim)), jnp.float32)
     mod = model.apply(params, vid, None, temb, method="modulated_input")
     assert np.isfinite(np.asarray(mod)).all()
+
+
+# ---------------------------------------------------------------------------
+# Independent golden of the reference SWA processor (VERDICT r2 weak #1):
+# EasyAnimateSWAttnProcessor2_0 (processor.py:320-459) re-derived in plain
+# NumPy from the reference math -- interval stride over the JOINT sequence,
+# torch.tensor_split head groups (first n%6 groups get the extra head), the
+# 6 einops axis orders, flash-attn window |i-j| <= h*w, and the text-out x2
+# combination. swa_attention_streams must reproduce it exactly.
+# ---------------------------------------------------------------------------
+
+
+def _np_softmax_attention(q, k, v):
+    """Dense attention [B,H,S,D] in float64 numpy (flash_attn_func math)."""
+    d = q.shape[-1]
+    s = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float64) * d ** -0.5
+    s -= s.max(axis=-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(axis=-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _np_windowed_attention(q, k, v, window):
+    d = q.shape[-1]
+    s = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float64) * d ** -0.5
+    n = q.shape[2]
+    idx = np.arange(n)
+    mask = np.abs(idx[:, None] - idx[None, :]) <= window
+    s = np.where(mask[None, None], s, -np.inf)
+    s -= s.max(axis=-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(axis=-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _np_tensor_split_sizes(n, parts):
+    """torch.tensor_split sizing: first (n % parts) chunks get the extra."""
+    base, rem = divmod(n, parts)
+    return [base + (1 if i < rem else 0) for i in range(parts)]
+
+
+# the five einops modes (processor.py:405-412) as (f,h,w) axis orders
+_NP_ORDERS = [None, (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+
+
+def _np_permute(x, f, h, w, order, inverse=False):
+    if order is None:
+        return x
+    b, nh, s, d = x.shape
+    sizes = (f, h, w)
+    if not inverse:
+        g = x.reshape(b, nh, f, h, w, d)
+        g = g.transpose(0, 1, *(2 + a for a in order), 5)
+    else:
+        g = x.reshape(b, nh, *(sizes[a] for a in order), d)
+        inv = [0] * 3
+        for pos, a in enumerate(order):
+            inv[a] = pos
+        g = g.transpose(0, 1, *(2 + p for p in inv), 5)
+    return g.reshape(b, nh, s, d)
+
+
+def reference_swa_processor_numpy(q, k, v, text_len, f, h, w,
+                                  cross_attention_size=1024):
+    """processor.py:320-459 from `query = ...transpose` on, NumPy float64.
+    q, k, v: [B, H, S, D] joint (text first), post-norm post-RoPE."""
+    st = text_len
+    sv = q.shape[2] - st
+    # interval over the joint length minus text (processor.py:391)
+    interval = max(sv // (cross_attention_size - st), 1)
+    ck = np.concatenate([k[:, :, :st], k[:, :, st::interval]], axis=2)
+    cv = np.concatenate([v[:, :, :st], v[:, :, st::interval]], axis=2)
+    cross = _np_softmax_attention(q, ck, cv)
+
+    sizes = _np_tensor_split_sizes(q.shape[1], 6)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    qs, ks, vs = [], [], []
+    for g in range(6):
+        sl = slice(offs[g], offs[g + 1])
+        qs.append(_np_permute(q[:, sl, st:], f, h, w, _NP_ORDERS[g]))
+        ks.append(_np_permute(k[:, sl, st:], f, h, w, _NP_ORDERS[g]))
+        vs.append(_np_permute(v[:, sl, st:], f, h, w, _NP_ORDERS[g]))
+    oo = _np_windowed_attention(np.concatenate(qs, 1), np.concatenate(ks, 1),
+                                np.concatenate(vs, 1), window=h * w)
+    outs = []
+    for g in range(6):
+        sl = slice(offs[g], offs[g + 1])
+        outs.append(_np_permute(oo[:, sl], f, h, w, _NP_ORDERS[g],
+                                inverse=True))
+    local = np.concatenate(outs, 1)
+    # hidden = cat([cross_txt, local], seq) + cross  (processor.py:436)
+    joint = np.concatenate([cross[:, :, :st], local], axis=2) + cross
+    return joint[:, :, :st], joint[:, :, st:]
+
+
+@pytest.mark.parametrize("nh,f,h,w,st,cross_size", [
+    (6, 3, 4, 4, 8, 16),      # even head split, interval > 1
+    (8, 3, 4, 5, 7, 15),      # remainder heads (tensor_split: [2,2,1,1,1,1])
+    (13, 2, 3, 4, 5, 1024),   # big remainder, interval == 1
+])
+def test_swa_streams_match_independent_reference(rng, nh, f, h, w, st,
+                                                 cross_size):
+    from easyanimate_tpu.ops.swa import swa_attention_streams
+
+    b, d = 1, 8
+    sv = f * h * w
+    mk = lambda s: rng.standard_normal((b, nh, s, d)).astype(np.float32)
+    q_t, k_t, v_t = mk(st), mk(st), mk(st)
+    q_v, k_v, v_v = mk(sv), mk(sv), mk(sv)
+
+    got_t, got_v = swa_attention_streams(
+        jnp.asarray(q_t), jnp.asarray(k_t), jnp.asarray(v_t),
+        jnp.asarray(q_v), jnp.asarray(k_v), jnp.asarray(v_v),
+        num_frames=f, height=h, width=w, cross_attention_size=cross_size,
+        impl="pallas_interpret")
+
+    q = np.concatenate([q_t, q_v], 2).astype(np.float64)
+    k = np.concatenate([k_t, k_v], 2).astype(np.float64)
+    v = np.concatenate([v_t, v_v], 2).astype(np.float64)
+    want_t, want_v = reference_swa_processor_numpy(
+        q, k, v, st, f, h, w, cross_attention_size=cross_size)
+
+    np.testing.assert_allclose(np.asarray(got_t), want_t, atol=2e-4,
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_v), want_v, atol=2e-4,
+                               rtol=2e-4)

@@ -185,3 +185,47 @@ def test_aesthetic_score_fn_runs(tmp_path):
     score = aesthetic_score_fn(model=_tiny_clip_model(), head_params=head)
     v = score(path)
     assert np.isfinite(v)
+
+
+def test_default_text_boxes_detects_captions():
+    """Weight-free OCR default (compute_text_score.py parity without
+    easyocr): caption-covered frames score text area, clean frames zero."""
+    import cv2
+
+    from easyanimate_tpu.video_caption.filters import default_text_boxes
+
+    plain = np.full((240, 320, 3), 128, np.uint8)
+    noise = np.random.default_rng(0).integers(
+        100, 156, (240, 320, 3)).astype(np.uint8)
+    text = plain.copy()
+    for i, line in enumerate(["HELLO WORLD 123", "EASYANIMATE TPU",
+                              "SOME CAPTION TEXT"]):
+        cv2.putText(text, line, (10, 60 + 60 * i),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.9, (255, 255, 255), 2)
+
+    def frac(f):
+        area = f.shape[0] * f.shape[1]
+        boxes = default_text_boxes(f)
+        return sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in boxes) / area
+
+    assert frac(plain) == 0.0
+    assert frac(noise) == 0.0
+    assert frac(text) > 0.05
+
+
+def test_compute_text_score_uses_default_detector(tmp_path):
+    """compute_text_score runs end-to-end on an mp4 with no easyocr."""
+    import cv2
+
+    from easyanimate_tpu.video_caption.filters import compute_text_score
+
+    path = str(tmp_path / "t.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 8, (320, 240))
+    for _ in range(8):
+        f = np.full((240, 320, 3), 128, np.uint8)
+        cv2.putText(f, "BREAKING NEWS TONIGHT", (10, 120),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
+        wr.write(f)
+    wr.release()
+    score = compute_text_score(path)
+    assert score > 0.01
