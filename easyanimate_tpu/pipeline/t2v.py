@@ -382,10 +382,16 @@ class EasyAnimatePipeline:
                          * (latents.shape[4] // self.mmdit_cfg.patch_size)
                          * latents.shape[2])
                 shape_tok = (b, s_vid, self.mmdit_cfg.inner_dim)
-                # two distinct buffers: the donated carry may not alias
-                tea0 = (jnp.zeros(shape_tok, self.mmdit_cfg.jdtype),
-                        jnp.zeros(shape_tok, self.mmdit_cfg.jdtype),
-                        jnp.zeros((), jnp.float32))
+                # two distinct buffers: the donated carry may not alias.
+                # Under an sp scope the carry shards on the token axis like
+                # the activations (~320 MB per buffer at flagship shapes
+                # would otherwise replicate on every chip)
+                from ..parallel.context import sp_constraint
+
+                tok = lambda: sp_constraint(
+                    jnp.zeros(shape_tok, self.mmdit_cfg.jdtype),
+                    ("dp", "sp", None))
+                tea0 = (tok(), tok(), jnp.zeros((), jnp.float32))
             else:
                 tea0 = None
             # the segments donate their carry; copy so the caller's latents

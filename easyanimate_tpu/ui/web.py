@@ -78,6 +78,15 @@ INDEX_HTML = """<!DOCTYPE html>
           <option>Video Generation</option>
           <option>Image Generation</option>
         </select></div>
+      <div><label>Sampler</label>
+        <select id="sampler">
+          <option>Flow</option>
+          <option>Euler</option>
+          <option>Euler A</option>
+          <option>DPM++</option>
+          <option>PNDM</option>
+          <option>DDIM</option>
+        </select></div>
       <div><label>Seed</label><input type="number" id="seed" value="43"></div>
     </div>
     <div class="row">
@@ -175,6 +184,7 @@ async function generate() {
     width_slider: +$("width").value, height_slider: +$("height").value,
     length_slider: +$("length").value, sample_step_slider: +$("steps").value,
     cfg_scale_slider: +$("cfg").value, seed_textbox: +$("seed").value,
+    sampler_dropdown: $("sampler").value,
   };
   if (images.start) payload.start_image = images.start;
   if (images.end) payload.end_image = images.end;

@@ -138,3 +138,89 @@ def test_ring_attention_gradient_matches_single_device():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5,
                                    rtol=1e-4)
+
+
+def test_ring_backward_is_flash_no_allgather():
+    """VERDICT r2 #3: the ring backward must rotate kv (+grad accumulators)
+    via ppermute and NEVER all-gather -- the lowered grad program contains
+    collective-permute ops and no all-gather. (The old VJP materialized the
+    [S_shard, S_full] score matrix behind an all-gather.)"""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from easyanimate_tpu.parallel.context import make_sp_attention
+    from easyanimate_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    b, h, s, d = 1, 2, 32, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mesh = create_mesh(MeshConfig(dp=1, sp=4, tp=1))
+    ring = make_sp_attention(mesh, mode="ring", shape=(b, h, s, d))
+
+    def loss(q, k, v):
+        return jnp.sum(ring(q, k, v) ** 2)
+
+    with mesh:
+        sh = NamedSharding(mesh, P(None, None, "sp", None))
+        qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+        lowered = jax.jit(jax.grad(loss, argnums=(0, 1, 2))).lower(qs, ks, vs)
+    text = lowered.as_text().lower()
+    assert "collective_permute" in text or "collective-permute" in text
+    assert "all_gather" not in text and "all-gather" not in text
+
+
+def test_swa_config_sp_pipeline_matches_single_device(rng):
+    """VERDICT r2 #1: the SWA fast path composes with sequence parallelism
+    -- a swa_layers pipeline under sequence_parallel(sp=2) equals the
+    unsharded run. SWA attention shards Ulysses-style (heads over the mesh,
+    permutes at GSPMD level)."""
+    import dataclasses
+
+    from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
+    from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
+    from easyanimate_tpu.parallel import (MeshConfig, create_mesh,
+                                          sequence_parallel)
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+
+    vae_cfg = MagvitVAEConfig(
+        latent_channels=4, block_out_channels=(8, 16),
+        down_block_types=("SpatialTemporalDownBlock3D", "SpatialDownBlock3D"),
+        up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
+        layers_per_block=1, norm_num_groups=4, mini_batch_encoder=2,
+        mini_batch_decoder=1, scaling_factor=0.5)
+    cfg = dataclasses.replace(
+        PRESETS["tiny"], num_layers=2, swa_layers=(1,),
+        num_attention_heads=6, attention_head_dim=16)
+    transformer = EasyAnimateTransformer3D(cfg)
+    vae = AutoencoderKLMagvit(vae_cfg)
+    lat = jnp.zeros((1, 4, 2, 16, 16))
+    txt = jnp.zeros((1, 16, cfg.text_embed_dim))
+    tp_ = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                           None)
+    vp_ = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = EasyAnimatePipeline(transformer=transformer, vae=vae,
+                               transformer_params=tp_, vae_params=vp_)
+
+    kw = dict(height=32, width=32, video_length=5, num_inference_steps=2,
+              guidance_scale=3.0, rng=jax.random.PRNGKey(7), decode=False,
+              output_type="latent")
+    pos = jnp.asarray(rng.standard_normal((1, 16, cfg.text_embed_dim)),
+                      jnp.float32)
+    neg = jnp.zeros_like(pos)
+
+    ref = np.asarray(pipe(pos, neg, **kw))
+
+    from easyanimate_tpu.parallel.mesh import MeshConfig as MC
+    mesh = create_mesh(MC(dp=1, sp=2, tp=1), devices=jax.devices()[:2])
+    with mesh, sequence_parallel(mesh):
+        sharded = np.asarray(pipe(pos, neg, **kw))
+    np.testing.assert_allclose(sharded, ref, atol=2e-4, rtol=2e-4)
+
+    # and on a dp x sp x tp mesh (heads 6 over tp=2 x sp... 6 % 4 != 0 ->
+    # helper falls back to tp-only head sharding; still exact)
+    mesh3 = create_mesh(MC(dp=2, sp=2, tp=2))
+    with mesh3, sequence_parallel(mesh3):
+        sharded3 = np.asarray(pipe(pos, neg, **kw))
+    np.testing.assert_allclose(sharded3, ref, atol=2e-4, rtol=2e-4)

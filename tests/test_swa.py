@@ -234,3 +234,80 @@ def test_swa_streams_match_independent_reference(rng, nh, f, h, w, st,
                                rtol=2e-4)
     np.testing.assert_allclose(np.asarray(got_v), want_v, atol=2e-4,
                                rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SWA custom VJP (VERDICT r2 #7): windowed Pallas dq/dkv kernels; grads must
+# match the dense-masked reference exactly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("s,window,bq,bkv", [
+    (256, 64, 128, 128),
+    (200, 50, 128, 128),   # padded tail
+    (384, 100, 256, 128),  # asymmetric blocks
+])
+def test_swa_backward_matches_dense(rng, s, window, bq, bkv):
+    b, h, d = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    do = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+
+    def loss_kernel(q, k, v):
+        o = sliding_window_attention(q, k, v, window=window, block_q=bq,
+                                     block_kv=bkv, interpret=True)
+        return jnp.sum(o * do)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(swa_reference(q, k, v, window) * do)
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("qkv", g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_swa_model_config_trains(rng):
+    """A swa_layers MMDiT config differentiates end-to-end through the
+    stream-separate composition (kernel path in interpret mode)."""
+    import dataclasses
+    from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
+    from easyanimate_tpu.pipeline.t2v import build_rope
+
+    cfg = dataclasses.replace(
+        PRESETS["tiny"], num_layers=2, swa_layers=(1,),
+        num_attention_heads=6, attention_head_dim=16,
+        attn_impl="pallas_interpret")
+    model = EasyAnimateTransformer3D(cfg)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32))
+    txt = jnp.asarray(rng.standard_normal((1, 5, cfg.text_embed_dim)
+                                          ).astype(np.float32))
+    rope = build_rope(cfg, 64, 64, 2)
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                        rope)
+
+    def loss(p):
+        out = model.apply(p, lat, jnp.array([500.0]), txt, rope)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
+    assert total > 0.0
+
+
+def test_swa_forward_misaligned_block_sizes(rng):
+    """Regression: block_q not a multiple of block_kv (or sp not a kv-block
+    multiple) used to clamp virtual kv offsets onto off-grid tiles. s=600
+    rounds to 640 with the default 1024/512 tile request."""
+    b, h, d, s, window = 1, 2, 64, 600, 150
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    got = sliding_window_attention(q, k, v, window=window, interpret=True)
+    want = swa_reference(q, k, v, window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
