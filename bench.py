@@ -68,42 +68,22 @@ def build_params_fp8(model, example):
     return jax.tree_util.tree_unflatten(treedef, make_all())
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="swa",
-                    choices=["swa_teacache", "swa", "plain"])
-    ap.add_argument("--int8", action="store_true", default=True,
-                    help="W8A8 int8 block linears (ops/quant.py; default on)")
-    ap.add_argument("--no-int8", dest="int8", action="store_false")
-    ap.add_argument("--steps", type=int, default=25)
-    ap.add_argument("--scan_chunk", type=int, default=8,
-                    help="bounded-runtime denoise segments (CLAUDE.md)")
-    ap.add_argument("--height", type=int, default=384)
-    ap.add_argument("--width", type=int, default=672)
-    ap.add_argument("--frames", type=int, default=49,
-                    help="other reference workloads: 25 (A100 1.75 s/it)")
-    ap.add_argument("--cfg_split", action="store_true",
-                    help="sequential CFG (memory mode; fits 576x1008x49f)")
-    args = ap.parse_args()
-
+def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
+                    frames, text_len, keep_final=False):
+    """Full protocol for one config: build fp8/int8 params, warm 25-step
+    run, timed 25-step run. Returns (s/step, final_latents_or_None)."""
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
     from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
     from easyanimate_tpu.pipeline import EasyAnimatePipeline
     from easyanimate_tpu.pipeline.t2v import build_rope
 
-    use_swa = args.config in ("swa_teacache", "swa")
-    teacache = 0.1 if args.config == "swa_teacache" else None
-
     cfg = PRESETS["v5.1-12b"]
     if use_swa:
         # V5.1 SWA variant: dense attention on layer 0, windowed elsewhere
         cfg = dataclasses.replace(cfg, swa_layers=tuple(range(1, 48)))
-    if args.int8:
+    if int8:
         cfg = dataclasses.replace(cfg, linear_quant="int8")
     model = EasyAnimateTransformer3D(cfg)
-
-    height, width, frames, text_len = (args.height, args.width,
-                                       args.frames, 256)
 
     t0 = time.time()
     lat_t = (frames - 1) // 4 + 1
@@ -115,7 +95,8 @@ def main():
     jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
-    print(f"# params {n_params/1e9:.2f}B, {nbytes/1e9:.1f} GB stored, "
+    print(f"# [{'swa' if use_swa else 'dense'}{'+int8' if int8 else ''}] "
+          f"params {n_params/1e9:.2f}B, {nbytes/1e9:.1f} GB stored, "
           f"init {time.time()-t0:.0f}s", file=sys.stderr)
 
     # pipeline with decode off the critical path (vae params unused)
@@ -135,15 +116,95 @@ def main():
                    rng=jax.random.PRNGKey(seed), decode=False,
                    output_type="latent", teacache_threshold=teacache,
                    scan_chunk=args.scan_chunk, cfg_split=args.cfg_split)
-        return float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
+        float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
+        return out
 
     t0 = time.time()
     run(0)
     print(f"# compile+first run {time.time()-t0:.0f}s", file=sys.stderr)
 
     t0 = time.time()
-    run(1)
+    out = run(1)
     sec_per_step = (time.time() - t0) / args.steps
+    final = out if keep_final else None
+    # free the 11.8 GB weight tree before the next config builds its own
+    for leaf in jax.tree.leaves(params):
+        leaf.delete()
+    return sec_per_step, final
+
+
+def _measure_decode(latents) -> float:
+    """VAE decode wall-clock (real MagViT geometry, spatially tiled;
+    transformer weights already freed)."""
+    from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+
+    vae_cfg = MagvitVAEConfig(dtype="bfloat16")
+    vae = AutoencoderKLMagvit(vae_cfg)
+    vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = EasyAnimatePipeline(transformer=None, vae=vae,
+                               transformer_params=None, vae_params=vparams)
+    t0 = time.time()
+    pipe.decode_latents(latents, to_uint8=True)
+    warm = time.time() - t0  # includes compile
+    t0 = time.time()
+    pipe.decode_latents(latents, to_uint8=True)
+    return min(warm, time.time() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="swa",
+                    choices=["swa_teacache", "swa", "plain"])
+    ap.add_argument("--int8", action="store_true", default=True,
+                    help="W8A8 int8 block linears (ops/quant.py; default on)")
+    ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--scan_chunk", type=int, default=8,
+                    help="bounded-runtime denoise segments (CLAUDE.md)")
+    ap.add_argument("--height", type=int, default=384)
+    ap.add_argument("--width", type=int, default=672)
+    ap.add_argument("--frames", type=int, default=49,
+                    help="other reference workloads: 25 (A100 1.75 s/it)")
+    ap.add_argument("--cfg_split", action="store_true",
+                    help="sequential CFG (memory mode; fits 576x1008x49f)")
+    ap.add_argument("--secondary", action="store_true", default=True,
+                    help="also measure dense-int8 + dense-bf16 + VAE decode "
+                         "and emit them as fields of the same JSON line")
+    ap.add_argument("--no-secondary", dest="secondary", action="store_false")
+    args = ap.parse_args()
+
+    use_swa = args.config in ("swa_teacache", "swa")
+    teacache = 0.1 if args.config == "swa_teacache" else None
+    height, width, frames, text_len = (args.height, args.width,
+                                       args.frames, 256)
+
+    sec_per_step, final_latents = _measure_config(
+        args, use_swa, args.int8, teacache, height, width, frames, text_len,
+        keep_final=args.secondary)
+
+    extra = {}
+    if args.secondary:
+        # the apples-to-apples numbers next to the tracked fast config: the
+        # A100 3.7 s/step baseline was measured on the DENSE model, so the
+        # dense s/step rides in the same tracked artifact (VERDICT r2)
+        dense_int8, _ = _measure_config(args, False, True, None, height,
+                                        width, frames, text_len)
+        dense_bf16, _ = _measure_config(args, False, False, None, height,
+                                        width, frames, text_len)
+        decode_s = _measure_decode(final_latents)
+        baseline_wall = {(384, 672, 49): 90.0, (384, 672, 25): 45.0,
+                         (576, 1008, 49): 300.0}.get((height, width, frames))
+        extra = {
+            "dense_int8_s_per_step": round(dense_int8, 4),
+            "dense_bf16_s_per_step": round(dense_bf16, 4),
+            "vae_decode_s": round(decode_s, 2),
+            "e2e_wall_clock_s": round(args.steps * sec_per_step + decode_s,
+                                      1),
+        }
+        if baseline_wall:
+            extra["e2e_vs_baseline"] = round(
+                baseline_wall / extra["e2e_wall_clock_s"], 3)
 
     # A100 s/step baselines per workload (BASELINE.md / ref README.md:140-143)
     baselines = {(384, 672, 49): 3.7, (384, 672, 25): 1.75,
@@ -162,6 +223,7 @@ def main():
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(baseline / sec_per_step, 3),
+        **extra,
     }))
 
 

@@ -31,6 +31,22 @@ Design notes (TPU):
     logsumexp, as in standard flash attention v2; the pad columns' ds@k
     contribution vanishes because k_pad=0, and pad-row dk/dv garbage is
     dropped by the pad's cotangent slice.
+
+head_dim-64 ceiling (measured dead-end, v5e, 2026-08): the model's d=64
+halves MXU utilization in BOTH matmuls (qk contraction depth 64; pv output
+width 64). Same-FLOPs comparison at flagship shapes (b2 h48 s13360):
+d=64 = 70.6 TF/s vs d=128 (h24) = 133 TF/s -- a 1.89x per-FLOP gap.
+Attempts to close it without changing the model:
+  - lane-packing two heads (q=[qA|qB], kv block-diagonal on a doubled
+    sequence) is provably neutral: the packed operands are half zeros, so
+    the K=128 matmul does exactly the same useful MAC fraction as K=64.
+  - batch-2/batch-4 dot_general over head pairs inside the kernel (hoping
+    Mosaic packs independent K=64 products into one 128-deep MXU pass)
+    measures only 1.14x on a qk microkernel -- no native K-packing for
+    bf16 on this chip/toolchain.
+Remaining lever: int8 qk scores (SageAttention-style; the int8 MXU path
+measures ~1.6x bf16 at 12B linear shapes, ops/quant.py) -- unimplemented;
+would need in-kernel per-block q/k scales plus a quality guard.
 """
 import functools
 import math

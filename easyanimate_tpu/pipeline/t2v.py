@@ -413,8 +413,11 @@ class EasyAnimatePipeline:
         return run
 
     def decode_latents(self, latents: jnp.ndarray,
-                       smooth: Optional[bool] = None) -> np.ndarray:
-        """latents -> uint8-ready float video in [0, 1], (B, C, T, H, W).
+                       smooth: Optional[bool] = None,
+                       to_uint8: bool = False) -> np.ndarray:
+        """latents -> video (B, C, T, H, W): float in [0, 1], or uint8 when
+        to_uint8 (rounded ON DEVICE -- 4x less device-to-host traffic, which
+        dominates decode wall-clock on remote/tunneled chips).
 
         Spatial tiling engages automatically above tile_latent_min_size
         (HBM headroom when the 12B transformer stays resident on the chip).
@@ -431,7 +434,8 @@ class EasyAnimatePipeline:
         tiled = max(latents.shape[-2:]) > tile_latent
         smooth = (smooth and not tiled
                   and latents.shape[2] > 1)  # image decode: nothing to blend
-        video = self._decode_fn(tiled, smooth)(self.vae_params, latents)
+        video = self._decode_fn(tiled, smooth, to_uint8)(
+            self.vae_params, latents)
         return np.asarray(video)
 
     def smooth_default(self) -> bool:
@@ -441,7 +445,8 @@ class EasyAnimatePipeline:
         return self.vae_cfg.chunk_mode in ("slice_mag", "slice_compression")
 
     @functools.lru_cache(maxsize=4)
-    def _decode_fn(self, tiled: bool = False, smooth: bool = False):
+    def _decode_fn(self, tiled: bool = False, smooth: bool = False,
+                   to_uint8: bool = False):
         vae = self.vae
         scale = self.vae_cfg.scaling_factor
 
@@ -460,7 +465,10 @@ class EasyAnimatePipeline:
                 video = jnp.clip(video, -1.0, 1.0)
                 video = smooth_output(vae, vae_params, video)
                 video = jnp.clip(video, -1.0, 1.0)
-            return jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            out = jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            if to_uint8:
+                out = jnp.round(out * 255.0).astype(jnp.uint8)
+            return out
 
         return run
 

@@ -346,3 +346,14 @@ def test_cfg_split_matches_batched_cfg(rng):
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32), atol=1e-4,
                                rtol=1e-3)
+
+
+def test_decode_latents_uint8_matches_float():
+    """to_uint8 rounds on device: equals round(float*255) exactly."""
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    lat = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 4, 3, h // 2, w // 2)).astype(np.float32))
+    f = pipe.decode_latents(lat)
+    u = pipe.decode_latents(lat, to_uint8=True)
+    assert u.dtype == np.uint8
+    np.testing.assert_array_equal(u, np.round(f * 255.0).astype(np.uint8))
