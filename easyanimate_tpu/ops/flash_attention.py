@@ -44,9 +44,12 @@ Attempts to close it without changing the model:
     Mosaic packs independent K=64 products into one 128-deep MXU pass)
     measures only 1.14x on a qk microkernel -- no native K-packing for
     bf16 on this chip/toolchain.
-Remaining lever: int8 qk scores (SageAttention-style; the int8 MXU path
-measures ~1.6x bf16 at 12B linear shapes, ops/quant.py) -- unimplemented;
-would need in-kernel per-block q/k scales plus a quality guard.
+  - int8 qk scores (SageAttention-style) are ALSO a measured dead-end
+    here: the int8 MXU advantage (1.6x at the 12B linear shapes) collapses
+    at contraction depth 64 -- a qk microkernel measures int8 1.22x bf16
+    raw and ~1.0x after the per-row x per-col dequant multiplies.
+The d=64 ceiling therefore stands; throughput beyond it comes from
+sparsity (SWA), step skipping (TeaCache), and multi-chip scaling.
 """
 import functools
 import math

@@ -30,7 +30,7 @@ from .flash_attention import (DEFAULT_MASK_VALUE, LN2, LOG2E, MIN_LANES,
 
 def _swa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, window: int, block_q: int, block_kv: int, num_off: int,
-                kv_len: int, block_kv_inner: int):
+                kv_len: int, seq_pad: int, block_kv_inner: int):
     jj = pl.program_id(2)
     i = pl.program_id(1)
 
@@ -40,48 +40,71 @@ def _swa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]
-    d = acc_scr.shape[-1]
-    # virtual kv start for this offset slot (may be out of range / clamped)
+    # The kernel is VPU-bound: the mask work rivals the 64-deep matmuls, so
+    # the mask is pared to ONE compare + select per element:
+    #  - clamped duplicate offset slots (virtual start outside [0, sp-bkv])
+    #    are PREDICATED OUT wholesale with pl.when -- no per-element kill
+    #    needed, and their matmuls are skipped entirely;
+    #  - in-range slots then use REAL column labels, so only the band mask
+    #    remains, as (delta + shift) uint<= 2*window over a loop-invariant
+    #    (row - col) delta matrix;
+    #  - pad-tail columns (kv_len..seq_pad) need no masking at all: k/v are
+    #    zero there, so in-window pad columns score exactly 0 and the store
+    #    step subtracts their closed-form mass n_pad(row) * 2^(-m)
+    #    (same trick as the dense kernel, but the count is row-dependent
+    #    through the window intersection).
     virt = i * block_q + (jj - num_off // 2) * block_kv
-    for start in range(0, block_kv, block_kv_inner):
-        k = k_ref[0, start:start + block_kv_inner]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    r0 = i * block_q
 
-        # band + bounds mask with unsigned compares: col in [0, kv_len)
-        # is one uint compare (negatives wrap to huge), and
-        # |row-col| <= window is (row-col+window) uint<= 2*window
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + virt + start
-        in_seq = col.astype(jnp.uint32) < jnp.uint32(kv_len)
-        in_win = ((row - col + window).astype(jnp.uint32)
-                  <= jnp.uint32(2 * window))
-        s = jnp.where(in_seq & in_win, s, DEFAULT_MASK_VALUE)
+    @pl.when((virt >= 0) & (virt <= seq_pad - block_kv))
+    def _compute():
+        q = q_ref[0]
+        d = acc_scr.shape[-1]
+        delta = (jax.lax.broadcasted_iota(
+                     jnp.int32, (block_q, block_kv_inner), 0)
+                 - jax.lax.broadcasted_iota(
+                     jnp.int32, (block_q, block_kv_inner), 1))
+        for start in range(0, block_kv, block_kv_inner):
+            k = k_ref[0, start:start + block_kv_inner]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            c0 = virt + start
+            in_win = ((delta + (r0 - c0 + window)).astype(jnp.uint32)
+                      <= jnp.uint32(2 * window))
+            s = jnp.where(in_win, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[:]
-        l_prev = l_scr[:]
-        m_curr = jnp.max(s, axis=1)[:, None]
-        m_next = jnp.maximum(m_prev, m_curr)
-        # base-2 softmax: sm_scale*log2e is folded into q by the wrapper
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - _lane_broadcast(m_next, s.shape[1]))
-        # fully-masked tiles: p rows are exp(MASK - m) ~ 0; harmless
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-        m_scr[:] = m_next
-        l_scr[:] = l_next
-        v = v_ref[0, start:start + block_kv_inner]
-        pv = jax.lax.dot(p.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
-        acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
+            m_prev = m_scr[:]
+            l_prev = l_scr[:]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            # base-2 softmax: sm_scale*log2e is folded into q by the wrapper
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - _lane_broadcast(m_next, s.shape[1]))
+            # fully-masked tiles: p rows are exp(MASK - m) ~ 0; harmless
+            l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m_scr[:] = m_next
+            l_scr[:] = l_next
+            v = v_ref[0, start:start + block_kv_inner]
+            pv = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
 
     @pl.when(jj == num_off - 1)
     def _store():
+        m = m_scr[:]
         l = l_scr[:]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scr[:] * _lane_broadcast(l_inv, d)).astype(o_ref.dtype)
-        lse2 = m_scr[:] + jnp.log2(jnp.maximum(l, 1e-30))
+        if kv_len < seq_pad:  # static: row-dependent pad mass in the window
+            rows = (jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                    + i * block_q)
+            lo = jnp.maximum(rows - window, kv_len)
+            hi = jnp.minimum(rows + window, seq_pad - 1)
+            n_pad = jnp.maximum(hi - lo + 1, 0).astype(jnp.float32)
+            l = l - n_pad * jnp.exp2(-m)
+        l_inv = jnp.where(l <= 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[:] * _lane_broadcast(l_inv, acc_scr.shape[-1])
+                    ).astype(o_ref.dtype)
+        lse2 = m + jnp.log2(jnp.maximum(l, 1e-30))
         lse_ref[0] = lse2[:, :1]  # [block_q, 1], base-2
 
 
@@ -101,7 +124,7 @@ def _swa_fwd(qf, kf, vf, *, window, kv_len, block_q, block_kv,
 
     kernel = functools.partial(
         _swa_kernel, window=window, block_q=block_q, block_kv=block_kv,
-        num_off=num_off, kv_len=kv_len,
+        num_off=num_off, kv_len=kv_len, seq_pad=sp,
         block_kv_inner=min(block_kv_inner, block_kv))
     o, lse = pl.pallas_call(
         kernel,
