@@ -55,7 +55,7 @@ def infer_forward(controller, payload: dict) -> dict:
     )
     if payload.get("sampler_dropdown"):
         kwargs["sampler"] = payload["sampler_dropdown"]
-    if payload.get("denoise_strength"):
+    if payload.get("denoise_strength") is not None:
         kwargs["denoise_strength"] = float(payload["denoise_strength"])
     if payload.get("start_image"):
         kwargs["start_image"] = decode_image_b64(payload["start_image"])

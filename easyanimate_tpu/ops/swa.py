@@ -462,10 +462,12 @@ def swa_attention_streams(
     b, nh, st, d = q_txt.shape
     sv = q_vid.shape[2]
     s = st + sv
-    # kernel path only when explicitly requested or auto-on-TPU; "xla" and
-    # "pallas_interpret" both fall back to the dense-masked reference (the
-    # windowed kernel itself is pinned to it in tests/test_swa.py)
-    use_kernel = impl == "pallas" or (
+    # kernel path when explicitly requested or auto-on-TPU;
+    # "pallas_interpret" runs the REAL kernels in interpreter mode (so
+    # off-TPU tests exercise the kernel through this composition); "xla"
+    # (and auto off-TPU) uses the dense-masked reference
+    interpret = impl == "pallas_interpret"
+    use_kernel = impl == "pallas" or interpret or (
         impl == "auto" and jax.default_backend() == "tpu")
     window = height * width
 
@@ -495,8 +497,10 @@ def swa_attention_streams(
     from .attention import attention as dense_attention
 
     cq = jnp.concatenate([q_txt, q_vid], axis=2)
+    cross_impl = ("pallas_interpret" if interpret
+                  else "pallas" if use_kernel else "xla")
     cross_fn = functools.partial(
-        dense_attention, impl="pallas" if use_kernel else "xla",
+        dense_attention, impl=cross_impl,
         block_q=2048, block_kv=1536, block_kv_inner=512)
     cross = maybe_head_parallel(cross_fn, cq.shape)(cq, ck, cv)
     cross_txt, cross_vid = cross[:, :, :st], cross[:, :, st:]
@@ -518,7 +522,8 @@ def swa_attention_streams(
     kk = jnp.concatenate([perm(k_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
     vvv = jnp.concatenate([perm(v_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
     if use_kernel:
-        local_fn = functools.partial(sliding_window_attention, window=window)
+        local_fn = functools.partial(sliding_window_attention, window=window,
+                                     interpret=interpret)
     else:
         local_fn = functools.partial(swa_reference, window=window)
     oo = maybe_head_parallel(local_fn, qq.shape)(qq, kk, vvv)

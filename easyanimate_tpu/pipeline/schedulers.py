@@ -286,8 +286,19 @@ def pndm_schedule(cfg: PNDMConfig, num_inference_steps: int,
     replays the warmup on the truncated schedule (a fresh counter, matching
     a diffusers scheduler handed the truncated timestep list)."""
     n = cfg.num_train_timesteps
+    # the counter-1 shift always uses the leading ratio (diffusers step_plms
+    # computes prev_timestep via n // num_inference_steps regardless of the
+    # spacing mode)
     step_ratio = n // num_inference_steps
-    ts = (np.arange(0, num_inference_steps) * step_ratio).round() + cfg.steps_offset
+    if cfg.timestep_spacing == "leading":
+        ts = ((np.arange(num_inference_steps) * step_ratio).round()
+              + cfg.steps_offset)
+    elif cfg.timestep_spacing == "linspace":
+        ts = np.linspace(0, n - 1, num_inference_steps).round()
+    elif cfg.timestep_spacing == "trailing":
+        ts = np.round(np.arange(n, 0, -n / num_inference_steps))[::-1] - 1
+    else:
+        raise ValueError(cfg.timestep_spacing)
     if t_start:
         ts = ts[: len(ts) - t_start]
     plms = np.concatenate([ts[:-1], ts[-2:-1], ts[-1:]])[::-1] \
@@ -312,10 +323,15 @@ def pndm_schedule(cfg: PNDMConfig, num_inference_steps: int,
 def pndm_prev_sample(cfg: PNDMConfig, sample, model_output, t, t_prev,
                      alphas_cumprod, final_alpha):
     """PNDM paper eq. 11 transfer (diffusers PNDMScheduler._get_prev_sample).
-    model_output must already be an epsilon (v_prediction converted)."""
+    model_output is the COMBINED raw model output (the Adams-Bashforth blend
+    of raw v/epsilon history); v_prediction converts to epsilon HERE, at the
+    (possibly counter-1-shifted) step timestep with the transfer sample --
+    exactly where diffusers does it."""
     x = sample.astype(jnp.float32)
     eps = model_output.astype(jnp.float32)
     a_t = alphas_cumprod[t]
+    if cfg.prediction_type == "v_prediction":
+        eps = jnp.sqrt(a_t) * eps + jnp.sqrt(1.0 - a_t) * x
     a_prev = jnp.where(t_prev >= 0, alphas_cumprod[jnp.maximum(t_prev, 0)],
                        final_alpha)
     b_t = 1.0 - a_t

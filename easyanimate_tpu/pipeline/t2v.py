@@ -330,13 +330,11 @@ class EasyAnimatePipeline:
                 elif isinstance(sched, EulerConfig):
                     lat = euler_step(sched, lat, pred, step[1], step[2])
                 elif isinstance(sched, PNDMConfig):
+                    # ets stores RAW model outputs (v or epsilon); the
+                    # v->epsilon conversion happens inside pndm_prev_sample
+                    # on the combined output (diffusers ordering)
                     ets, cur = extra
                     eps = pred.astype(jnp.float32)
-                    if sched.prediction_type == "v_prediction":
-                        a_t = alphas_cumprod[step[0].astype(jnp.int32)]
-                        eps = (jnp.sqrt(a_t) * eps
-                               + jnp.sqrt(1.0 - a_t)
-                               * lat.astype(jnp.float32))
                     order = step[3].astype(jnp.int32)
                     out = pndm_combine(order, eps, ets)
                     ets = jnp.where(step[4] > 0.5,

@@ -80,6 +80,7 @@ INDEX_HTML = """<!DOCTYPE html>
         </select></div>
       <div><label>Sampler</label>
         <select id="sampler">
+          <option value="">(model default)</option>
           <option>Flow</option>
           <option>Euler</option>
           <option>Euler A</option>
@@ -184,8 +185,8 @@ async function generate() {
     width_slider: +$("width").value, height_slider: +$("height").value,
     length_slider: +$("length").value, sample_step_slider: +$("steps").value,
     cfg_scale_slider: +$("cfg").value, seed_textbox: +$("seed").value,
-    sampler_dropdown: $("sampler").value,
   };
+  if ($("sampler").value) payload.sampler_dropdown = $("sampler").value;
   if (images.start) payload.start_image = images.start;
   if (images.end) payload.end_image = images.end;
   try {

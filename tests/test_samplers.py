@@ -269,3 +269,45 @@ def test_sampler_switch_through_controller_changes_output():
     assert euler["message"] == "Success"
     assert isinstance(ctrl.pipeline.scheduler, EulerConfig)
     assert base["base64_encoding"] != euler["base64_encoding"]
+
+
+def test_pndm_v_prediction_converts_at_step_time():
+    """v_prediction converts the COMBINED output inside pndm_prev_sample
+    using the step timestep and transfer sample (diffusers ordering)."""
+    cfg = PNDMConfig(prediction_type="v_prediction")
+    rows, ac, final_alpha = pndm_schedule(cfg, 10)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4)),
+                    jnp.float32)
+    v = jnp.asarray(np.random.default_rng(1).standard_normal(x.shape),
+                    jnp.float32)
+    t, tp = 900, 800
+    got = pndm_prev_sample(cfg, x, v, jnp.int32(t), jnp.int32(tp), ac,
+                           final_alpha)
+    a_t, a_p = float(ac[t]), float(ac[tp])
+    eps = np.sqrt(a_t) * np.asarray(v) + np.sqrt(1 - a_t) * np.asarray(x)
+    coeff = (a_p / a_t) ** 0.5
+    denom = a_t * (1 - a_p) ** 0.5 + (a_t * (1 - a_t) * a_p) ** 0.5
+    want = coeff * np.asarray(x) - (a_p - a_t) * eps / denom
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_pndm_timestep_spacing_modes():
+    for spacing in ("leading", "linspace", "trailing"):
+        rows, _, _ = pndm_schedule(PNDMConfig(timestep_spacing=spacing), 10)
+        t_eval = rows[:, 0]
+        assert rows.shape == (11, 6), spacing
+        assert t_eval[1] == t_eval[2], spacing  # duplicated 2nd step
+        assert t_eval[0] > t_eval[-1], spacing
+    lead = pndm_schedule(PNDMConfig(timestep_spacing="leading"), 10)[0]
+    trail = pndm_schedule(PNDMConfig(timestep_spacing="trailing"), 10)[0]
+    assert trail[0, 0] > lead[0, 0]  # trailing starts at n-1
+
+
+def test_pndm_v_prediction_pipeline_runs():
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pipe.scheduler = PNDMConfig(prediction_type="v_prediction")
+    out_v = _run(pipe, cfg, h, w, vl)
+    assert np.isfinite(out_v).all()
+    pipe.scheduler = PNDMConfig()
+    out_e = _run(pipe, cfg, h, w, vl)
+    assert np.abs(out_v - out_e).max() > 1e-3
