@@ -288,5 +288,14 @@ def load_pipeline(
         sched = FlowMatchEulerConfig()
 
     cls = _PIPELINES[pipeline_type]
-    return cls(transformer=transformer, vae=vae, transformer_params=tparams,
+    pipe = cls(transformer=transformer, vae=vae, transformer_params=tparams,
                vae_params=vparams, scheduler=sched)
+    # per-model TeaCache polynomial from the checkpoint name (reference
+    # get_teacache_coefficients keyed by model path, ui.py:477)
+    from .pipeline.t2v import get_teacache_coefficients
+
+    coeff = get_teacache_coefficients(os.path.basename(
+        os.path.normpath(model_path)))
+    if coeff is not None:
+        pipe.teacache_coefficients = coeff
+    return pipe

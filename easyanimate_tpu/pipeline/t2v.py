@@ -59,6 +59,17 @@ TEACACHE_COEFFICIENTS = (
     -10.47857366, 8.33844143, -0.78477557, 0.68798618, 0.0136149)
 
 
+def get_teacache_coefficients(model_name: str):
+    """Per-model TeaCache polynomials (reference transformer3d.py:124-137,
+    calibrated on T2V CompBench samples); None for unsupported models."""
+    name = model_name.lower()
+    if "v5.1-7b" in name:
+        return (1.07862322, -4.19362456, 3.06725828, 0.33161686, 0.02374758)
+    if "v5.1-12b" in name:
+        return TEACACHE_COEFFICIENTS
+    return None
+
+
 def build_rope(cfg: MMDiTConfig, height: int, width: int, latent_frames: int,
                vae_scale: Optional[int] = None):
     """RoPE tables for a (height, width, frames) generation
@@ -89,6 +100,9 @@ class EasyAnimatePipeline:
     transformer_params: dict
     vae_params: dict
     scheduler: object = dataclasses.field(default_factory=FlowMatchEulerConfig)
+    # per-model TeaCache polynomial (get_teacache_coefficients; the loader
+    # sets this from the checkpoint name like the reference controller)
+    teacache_coefficients: tuple = TEACACHE_COEFFICIENTS
 
     @property
     def mmdit_cfg(self) -> MMDiTConfig:
@@ -280,7 +294,7 @@ class EasyAnimatePipeline:
                                     - prev_mod.astype(jnp.float32)))
                    / jnp.maximum(jnp.mean(jnp.abs(prev_mod.astype(jnp.float32))),
                                  1e-8))
-            poly = jnp.polyval(jnp.asarray(TEACACHE_COEFFICIENTS), rel)
+            poly = jnp.polyval(jnp.asarray(self.teacache_coefficients), rel)
             acc_new = acc + poly
             idx = step[-1]
             endpoint = (idx == 0) | (idx == n_steps - 1)

@@ -27,6 +27,10 @@ class EasyAnimateController:
     # text -> (embeds, mask); plug a Qwen2TextEncoder closure or leave None
     # to accept precomputed embeddings
     encode_text: Optional[Callable] = None
+    # reference controller flags (ui.py:69,99-100): TeaCache applied to
+    # every generate() when enabled
+    enable_teacache: bool = False
+    teacache_threshold: float = 0.1
     lora_cfg: Optional[LoRAConfig] = None
     _lora_merged: bool = dataclasses.field(default=False, init=False)
     _lora: Optional[dict] = dataclasses.field(default=None, init=False)
@@ -145,6 +149,8 @@ class EasyAnimateController:
                 sampler, base=self.pipeline.scheduler)
         pos, neg, extra = self._embeds(prompt, negative_prompt)
         kw = {**extra, **kw}
+        if self.enable_teacache:
+            kw.setdefault("teacache_threshold", self.teacache_threshold)
         rng = jax.random.PRNGKey(seed)
         if generation_method == "Image Generation":
             video_length = 1

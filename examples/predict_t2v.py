@@ -35,6 +35,9 @@ def main():
                     help="W8A8 int8 block linears (1.5x MXU; ops/quant.py)")
     ap.add_argument("--teacache", type=float, default=None,
                     help="TeaCache rel-L1 threshold (e.g. 0.1)")
+    ap.add_argument("--sampler", default=None,
+                    help="Flow | Euler | 'Euler A' | DPM++ | PNDM | DDIM "
+                         "(reference sampler_dropdown)")
     ap.add_argument("--lora", default=None)
     ap.add_argument("--lora_scale", type=float, default=1.0)
     ap.add_argument("--text_encoder_path", default=None,
@@ -65,6 +68,10 @@ def main():
         args.steps = 4
         pos, neg = _random_text(text_dim)
 
+    if args.sampler:
+        from easyanimate_tpu.pipeline import make_scheduler
+
+        pipe.scheduler = make_scheduler(args.sampler, base=pipe.scheduler)
     video = pipe(
         pos, neg, height=args.height, width=args.width,
         video_length=args.video_length, num_inference_steps=args.steps,
