@@ -90,17 +90,26 @@ class AspectRatioBatchSampler:
     ratios: Dict[str, Tuple[int, int]] = dataclasses.field(
         default_factory=lambda: ASPECT_RATIO_512)
     drop_last: bool = True
+    # multi-host sharding: every host iterates the SAME permutation (keeping
+    # the resumable cursor identical everywhere) but emits only every
+    # shard_count-th completed batch, offset by shard_rank -- each host
+    # feeds a distinct slice of the global batch stream
+    shard_rank: int = 0
+    shard_count: int = 1
 
     def __post_init__(self):
         self._buckets: Dict[str, Dict[str, List[int]]] = {
             "image": {}, "video": {}}
 
     def __iter__(self) -> Iterator[List[int]]:
+        emitted = 0
         for idx in self.sampler:
             kind, h, w = self.sample_info[idx]
             _, ratio = get_closest_ratio(h, w, self.ratios)
             bucket = self._buckets[kind].setdefault(str(ratio), [])
             bucket.append(idx)
             if len(bucket) == self.batch_size:
-                yield list(bucket)
+                if emitted % self.shard_count == self.shard_rank:
+                    yield list(bucket)
+                emitted += 1
                 bucket.clear()

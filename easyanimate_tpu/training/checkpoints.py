@@ -34,17 +34,34 @@ class CheckpointManager:
         return sorted(out)
 
     def save(self, step: int, state: Any, sampler_state: Optional[dict] = None):
+        """Save a snapshot. Multi-host: call from EVERY process -- orbax
+        serialization of globally-sharded arrays is a collective (each host
+        writes its addressable shards); host-side file ops run on process 0
+        with barriers around them."""
+        import jax
+
+        multihost = jax.process_count() > 1
         path = self._path(step)
         # re-saving the same step (restart/retry) replaces the old snapshot;
         # orbax refuses to overwrite otherwise
-        if os.path.exists(os.path.join(path, "state")):
+        if jax.process_index() == 0 and os.path.exists(
+                os.path.join(path, "state")):
             shutil.rmtree(path, ignore_errors=True)
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_pre_save")
         self._ckpt.save(os.path.join(path, "state"), state)
         self._ckpt.wait_until_finished()
-        if sampler_state is not None:
+        if sampler_state is not None and jax.process_index() == 0:
             with open(os.path.join(path, "sampler.json"), "w") as f:
                 json.dump(sampler_state, f)
-        self._rotate()
+        if jax.process_index() == 0:
+            self._rotate()
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_post_save")
 
     def _rotate(self):
         steps = self.steps()

@@ -121,7 +121,9 @@ def make_lora_train_step(model, train_cfg, lora_cfg: LoRAConfig,
         noisy, target = flow_noise_and_target(latents, noise, sigmas)
         pred = model.apply(merged, noisy, timesteps, batch["text"],
                            batch.get("rope"),
-                           inpaint_latents=batch.get("inpaint_latents"))
+                           encoder_hidden_states_t5=batch.get("text_t5"),
+                           inpaint_latents=batch.get("inpaint_latents"),
+                           control_latents=batch.get("control_latents"))
         return masked_mse_loss(pred, target,
                                train_cfg.loss.loss_outlier_threshold)
 

@@ -90,10 +90,16 @@ class TrainConfig:
 
 
 def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
-    """diffusers get_scheduler parity for the modes the reference uses."""
+    """diffusers get_scheduler parity for the modes the reference uses.
+
+    Horizon is in OPTIMIZER updates: under MultiSteps the inner schedule
+    advances once per gradient_accumulation_steps micro-steps, so the
+    micro-step counts divide by k (accelerate counts warmup/total in
+    optimizer steps too)."""
     base = cfg.learning_rate
-    warm = cfg.lr_warmup_steps
-    total = max(cfg.max_train_steps, warm + 1)
+    k = max(cfg.gradient_accumulation_steps, 1)
+    warm = cfg.lr_warmup_steps // k
+    total = max(cfg.max_train_steps // k, warm + 1)
     if cfg.lr_scheduler == "constant":
         if warm == 0:
             return optax.constant_schedule(base)

@@ -184,13 +184,13 @@ def main():
             height=args.sample_height, width=args.sample_width,
             enable_inpaint=args.enable_inpaint, seed=args.seed)
     sampler = ResumableRandomSampler(len(dataset), seed=args.seed)
+    # multi-host: same permutation everywhere (consistent resumable cursor);
+    # each host emits every process_count-th batch
     batch_sampler = AspectRatioBatchSampler(
         sampler=sampler, batch_size=args.train_batch_size,
-        sample_info=dataset.sample_info())
+        sample_info=dataset.sample_info(),
+        shard_rank=jax.process_index(), shard_count=jax.process_count())
     from easyanimate_tpu.data import DataLoader
-
-    loader = iter(DataLoader(dataset, batch_sampler,
-                             num_workers=args.dataloader_num_workers))
 
     tcfg = TrainConfig(
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
@@ -228,7 +228,10 @@ def main():
         state = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             state, state_specs)
-    jstep = jax.jit(step_fn, donate_argnums=(0,))
+    # report_model_info needs the PRE-update params alive after the step
+    # (diagnosing the abnormal step's own gradients), so donation is off
+    jstep = jax.jit(step_fn,
+                    donate_argnums=() if args.report_model_info else (0,))
 
     ckpts = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                               max_to_keep=args.checkpoints_total_limit)
@@ -238,10 +241,18 @@ def main():
             state = restored
             sampler.load_state_dict(sampler_state)
             print(f"resumed from step {step}")
+    # the loader starts its producer thread on iter(): construct it AFTER
+    # the resume restores the sampler cursor, or the prefetched batches
+    # replay epoch 0
+    loader = iter(DataLoader(dataset, batch_sampler,
+                             num_workers=args.dataloader_num_workers))
 
     logger = MetricLogger(args.output_dir)
     timer = StepTimer()
-    rng = jax.random.PRNGKey(args.seed + 1000 * jax.process_index())
+    # multi-controller SPMD requires IDENTICAL replicated inputs on every
+    # process -- including PRNG keys. Data diversity comes from the sharded
+    # batch sampler; per-device timestep banding from axis_index in the loss.
+    rng = jax.random.PRNGKey(args.seed)
     lat_scale = vae_cfg.scaling_factor
     step0 = int(np.asarray(state.step))
     shape_rng = np.random.RandomState(args.seed)
@@ -270,6 +281,7 @@ def main():
 
     def prepare_batch(loaded, r_enc):
         """host batch -> mesh-sharded train batch (encode dispatched async)."""
+        r_enc, r_aug, r_ref = jax.random.split(r_enc, 3)
         loaded = _shape_batch(args, loaded, vae_cfg, shape_rng)
         pixels = loaded["pixel_values"] * 2.0 - 1.0  # [-1,1] for the VAE
         pix = {"pixels": pixels.astype(np.float32)}
@@ -289,17 +301,23 @@ def main():
         if args.enable_inpaint:
             batch["inpaint_latents"] = _inpaint_latents(
                 vae, vparams, loaded, g["pixels"], latents, lat_scale,
-                transformer.cfg, enc_mode, mesh)
+                transformer.cfg, enc_mode, mesh, r_aug)
         if args.train_mode == "control":
             batch["control_latents"] = enc_mode(
                 vparams, g["control_pixels"]).astype(latents.dtype)
         elif args.train_mode == "control_camera_ref":
+            cam_np = loaded.get("control_camera_values")
+            if cam_np is None:
+                # manifest entries without camera files condition on zeros
+                # (reference train_control.py:1375-1385)
+                pix = loaded["pixel_values"]
+                cam_np = np.zeros((pix.shape[0], 6, *pix.shape[2:]),
+                                  np.float32)
             cam = make_global_batch(
-                mesh, {"cam": np.asarray(loaded["control_camera_values"],
-                                         np.float32)},
+                mesh, {"cam": np.asarray(cam_np, np.float32)},
                 {"cam": data_spec("latents")})["cam"]
             batch["control_latents"] = _camera_latents(
-                cam, latents, vae_cfg, transformer.cfg)
+                cam, latents, vae_cfg, transformer.cfg, r_ref)
         batch["rope"] = build_rope(
             transformer.cfg, args.sample_height, args.sample_width,
             int(latents.shape[2]), vae_scale=vae_cfg.spatial_compression)
@@ -314,6 +332,9 @@ def main():
         for step in range(step0, args.max_train_steps):
             batch = pending
             rng, r_step = jax.random.split(rng)
+            # keep the PRE-update params for abnormal-step diagnosis
+            # (donation is disabled when report_model_info is on)
+            prev_params = state.params if args.report_model_info else None
             state, metrics = jstep(state, batch, r_step)
             # lookahead: pull + encode the NEXT batch while the device runs
             # the current step (everything above is async dispatch; the
@@ -326,19 +347,20 @@ def main():
             logger.log(step, metrics)
             if (args.report_model_info
                     and float(metrics["grad_norm"]) > args.abnormal_norm):
-                _report_param_grad_norms(logger, step, state, batch, r_step,
-                                         transformer, tcfg)
+                _report_param_grad_norms(logger, step, prev_params, batch,
+                                         r_step, transformer, tcfg)
             if step % 10 == 0:
                 print(f"step {step}: loss={float(metrics['loss']):.4f} "
                       f"gnorm={float(metrics['grad_norm']):.3f}")
             if (step + 1) % args.checkpointing_steps == 0:
-                if jax.process_index() == 0:
-                    ckpts.save(step + 1, state, sampler.state_dict())
+                # every process participates (orbax multihost collective);
+                # host-side file ops are process-0-gated inside save()
+                ckpts.save(step + 1, state, sampler.state_dict())
             if args.validation_steps and (step + 1) % args.validation_steps == 0:
                 _log_validation(args, transformer, vae,
                                 state, vparams, encode_text, step + 1)
+    ckpts.save(args.max_train_steps, state, sampler.state_dict())
     if jax.process_index() == 0:
-        ckpts.save(args.max_train_steps, state, sampler.state_dict())
         print("done; checkpoints in", ckpts.directory)
 
 
@@ -411,18 +433,32 @@ def _shape_batch(args, loaded, vae_cfg, rng):
     return loaded
 
 
-def _camera_latents(cam, latents, vae_cfg, cfg):
+def _camera_latents(cam, latents, vae_cfg, cfg, rng=None):
     """Plucker camera video -> control latent channels (the camera-control
     model conditions on the resized 6ch Plucker embedding rather than a
     VAE-encoded video; matches pipeline/control.py and the reference's
-    train_control.py camera path). cam arrives mesh-sharded."""
+    train_control.py camera path). cam arrives mesh-sharded.
+
+    Ref branch (train_control.py:1801-1815): the FIRST-FRAME latent goes
+    into frame 0 of the ref channels, zeroed with probability 0.2 (the
+    causal VAE encodes frame 0 independently, so latents[:, :, :1] IS the
+    first frame's latent)."""
     from easyanimate_tpu.pipeline.inpaint import resize_mask_to_latent
 
     ctl = resize_mask_to_latent(cam, latents.shape,
                                 first_frame_special=True) * 6.0
     if cfg.add_ref_latent_in_control_model:
-        ctl = jnp.concatenate(
-            [ctl, jnp.zeros(latents.shape, ctl.dtype)], axis=1)
+        first = latents[:, :, :1].astype(jnp.float32)
+        if rng is not None:
+            keep = (jax.random.uniform(rng, (latents.shape[0], 1, 1, 1, 1))
+                    >= 0.2).astype(jnp.float32)
+            first = first * keep
+        ref = jnp.zeros(latents.shape, jnp.float32)
+        if latents.shape[2] > 1:
+            ref = ref.at[:, :, :1].set(first)
+        else:
+            ref = first
+        ctl = jnp.concatenate([ctl, ref], axis=1)
     return ctl.astype(latents.dtype)
 
 
@@ -453,15 +489,16 @@ def _sanity_dump(args, loaded):
 _GRAD_NORM_FN = {}
 
 
-def _report_param_grad_norms(logger, step, state, batch, rng, transformer,
+def _report_param_grad_norms(logger, step, params, batch, rng, transformer,
                              tcfg):
     """Abnormal-step per-parameter grad norms -> metric log (reference
-    report_model_info, train.py:2128-2137)."""
+    report_model_info, train.py:2128-2137). params are the PRE-update
+    params of the step being diagnosed."""
     from easyanimate_tpu.training.trainer import make_param_grad_norms
 
     if "fn" not in _GRAD_NORM_FN:
         _GRAD_NORM_FN["fn"] = make_param_grad_norms(transformer, tcfg)
-    norms = _GRAD_NORM_FN["fn"](state.params["params"], batch, rng)
+    norms = _GRAD_NORM_FN["fn"](params["params"], batch, rng)
     top = sorted(norms.items(), key=lambda kv: -float(kv[1]))[:20]
     logger.log(step, {f"grad_norm/{k}": float(v) for k, v in top})
     print(f"step {step}: abnormal grad norm; top offenders: "
@@ -506,21 +543,26 @@ def _log_validation(args, transformer, vae, state, vparams, encode_text,
 
 
 def _inpaint_latents(vae, vparams, samples, pixels_sharded, latents, scale,
-                     cfg, enc_mode, mesh):
+                     cfg, enc_mode, mesh, rng=None):
     """Mask + masked-video latents, computed on the mesh: the mask uploads
     dp-sharded, masking and resize run on sharded arrays, and the masked
-    video goes through the sharded jitted encode."""
+    video goes through the sharded jitted encode. The masked reference
+    video is noise-augmented like the reference trainer (train.py:1842)
+    and this repo's inference path (pipeline/inpaint.py)."""
     import jax.numpy as jnp
     import numpy as np
 
     from jax.sharding import NamedSharding
     from easyanimate_tpu.parallel import data_spec
-    from easyanimate_tpu.pipeline.inpaint import resize_mask_to_latent
+    from easyanimate_tpu.pipeline.inpaint import (
+        add_noise_to_reference_video, resize_mask_to_latent)
 
     masks = jax.device_put(
         np.asarray(samples["mask"], np.float32),  # (B,1,T,H,W) 1=regen
         NamedSharding(mesh, data_spec("latents")))
     masked = pixels_sharded * (masks < 0.5)
+    if rng is not None and getattr(cfg, "add_noise_in_inpaint_model", False):
+        masked = add_noise_to_reference_video(masked, rng)
     masked_lat = enc_mode(vparams, masked)
     mask_lat = resize_mask_to_latent(
         1.0 - masks, latents.shape,

@@ -270,3 +270,28 @@ def test_kl2d_vae_in_v1_edition_roundtrips():
     assert moments.shape == (1, 2 * cfg.latent_channels, 2, 32 // sc, 32 // sc)
     out = vae.apply(params, video)
     assert out.shape == video.shape
+
+
+def test_batch_sampler_multihost_sharding():
+    """Host shards emit disjoint batch streams that together cover exactly
+    the unsharded stream (same permutation + cursor on every host)."""
+    from easyanimate_tpu.data import AspectRatioBatchSampler, ResumableRandomSampler
+
+    info = [("video", 384.0, 672.0)] * 64
+    def batches(rank, count):
+        s = ResumableRandomSampler(64, seed=0)
+        bs = AspectRatioBatchSampler(
+            sampler=s, batch_size=4, sample_info=info,
+            shard_rank=rank, shard_count=count)
+        out = []
+        it = iter(bs)
+        for _ in range(16 // count):
+            out.append(tuple(next(it)))
+        return out
+
+    full = batches(0, 1)
+    a = batches(0, 2)
+    b = batches(1, 2)
+    assert a == full[0::2]
+    assert b == full[1::2]
+    assert not (set(a) & set(b))
