@@ -58,8 +58,8 @@ def infer_forward(controller, payload: dict) -> dict:
     if payload.get("denoise_strength") is not None:
         kwargs["denoise_strength"] = float(payload["denoise_strength"])
     if payload.get("enable_teacache"):
-        kwargs["teacache_threshold"] = float(
-            payload.get("teacache_threshold", 0.1))
+        thr = payload.get("teacache_threshold")
+        kwargs["teacache_threshold"] = float(thr) if thr is not None else 0.1
     if payload.get("start_image"):
         kwargs["start_image"] = decode_image_b64(payload["start_image"])
     if payload.get("end_image"):

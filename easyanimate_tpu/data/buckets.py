@@ -91,9 +91,12 @@ class AspectRatioBatchSampler:
         default_factory=lambda: ASPECT_RATIO_512)
     drop_last: bool = True
     # multi-host sharding: every host iterates the SAME permutation (keeping
-    # the resumable cursor identical everywhere) but emits only every
-    # shard_count-th completed batch, offset by shard_rank -- each host
-    # feeds a distinct slice of the global batch stream
+    # the resumable cursor identical everywhere); a bucket fills to
+    # batch_size*shard_count before emitting, and each host takes its own
+    # batch_size slice. All shard_count hosts therefore draw from the SAME
+    # (kind, ratio) bucket at the same step -- jitted global batch shapes
+    # (image T=1 vs video T=f, token tiling) stay identical across
+    # processes, which jax.make_array_from_process_local_data requires
     shard_rank: int = 0
     shard_count: int = 1
 
@@ -102,14 +105,13 @@ class AspectRatioBatchSampler:
             "image": {}, "video": {}}
 
     def __iter__(self) -> Iterator[List[int]]:
-        emitted = 0
+        group = self.batch_size * self.shard_count
         for idx in self.sampler:
             kind, h, w = self.sample_info[idx]
             _, ratio = get_closest_ratio(h, w, self.ratios)
             bucket = self._buckets[kind].setdefault(str(ratio), [])
             bucket.append(idx)
-            if len(bucket) == self.batch_size:
-                if emitted % self.shard_count == self.shard_rank:
-                    yield list(bucket)
-                emitted += 1
+            if len(bucket) == group:
+                lo = self.shard_rank * self.batch_size
+                yield bucket[lo:lo + self.batch_size]
                 bucket.clear()

@@ -192,18 +192,26 @@ class ImageVideoControlDataset(ImageVideoDataset):
     def _load(self, e: Dict, idx: int) -> Dict[str, np.ndarray]:
         sample = super()._load(e, idx)
         t = sample["pixel_values"].shape[1]
-        if e.get("camera_file_path") and self.enable_camera:
-            from .camera import plucker_from_file
+        if self.enable_camera:
+            # per-SAMPLE fallback: entries without a pose file condition on
+            # zeros (reference train_control.py:1375-1385 does this in the
+            # collate), so mixed batches always carry the key with one shape
+            if e.get("camera_file_path"):
+                from .camera import plucker_from_file
 
-            pl = plucker_from_file(
-                self._path({"file_path": e["camera_file_path"]}),
-                self.height, self.width)
-            pl = pl[:t]
-            if pl.shape[0] < t:
-                pl = np.concatenate(
-                    [pl, np.repeat(pl[-1:], t - pl.shape[0], 0)], 0)
-            sample["control_camera_values"] = np.transpose(
-                pl, (3, 0, 1, 2)).astype(np.float32)
+                pl = plucker_from_file(
+                    self._path({"file_path": e["camera_file_path"]}),
+                    self.height, self.width)
+                pl = pl[:t]
+                if pl.shape[0] < t:
+                    pl = np.concatenate(
+                        [pl, np.repeat(pl[-1:], t - pl.shape[0], 0)], 0)
+                sample["control_camera_values"] = np.transpose(
+                    pl, (3, 0, 1, 2)).astype(np.float32)
+            else:
+                h, w = sample["pixel_values"].shape[2:]
+                sample["control_camera_values"] = np.zeros(
+                    (6, t, h, w), np.float32)
         elif e.get("control_file_path"):
             n = t
             frame_idx = np.arange(n) * 1

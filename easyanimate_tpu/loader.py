@@ -294,8 +294,9 @@ def load_pipeline(
     # get_teacache_coefficients keyed by model path, ui.py:477)
     from .pipeline.t2v import get_teacache_coefficients
 
-    coeff = get_teacache_coefficients(os.path.basename(
-        os.path.normpath(model_path)))
-    if coeff is not None:
-        pipe.teacache_coefficients = coeff
+    # reference matches a lowercase substring of the FULL model path
+    # (ui.py:477 passes self.base_model_path); unmatched models get None and
+    # the pipeline refuses to enable TeaCache rather than silently running a
+    # foreign polynomial
+    pipe.teacache_coefficients = get_teacache_coefficients(model_path)
     return pipe

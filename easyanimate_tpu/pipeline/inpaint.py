@@ -114,8 +114,11 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         if video is not None:
             vid = (2.0 * video - 1.0).astype(self.vae_cfg.jdtype)
             if mask_video is not None:
+                # regenerate-regions filled with -1 (reference
+                # pipeline_easyanimate_inpaint.py:1346); the noise-aug
+                # guard keys on the -1 fill to keep them clean
                 keep = (mask_video < 0.5).astype(vid.dtype)
-                masked_video = vid * keep
+                masked_video = vid * keep - (1.0 - keep)
             else:
                 masked_video = vid
             if noise_aug_strength and cfg.add_noise_in_inpaint_model:

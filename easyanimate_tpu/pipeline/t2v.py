@@ -219,6 +219,12 @@ class EasyAnimatePipeline:
                     clip_apply_ratio: Optional[float] = None,
                     scan_chunk: Optional[int] = None,
                     cfg_split: bool = False):
+        # reference refuses to enable TeaCache for models with no calibrated
+        # polynomial (ui.py:477-478 `coefficients is not None and ...`)
+        if teacache_threshold is not None and self.teacache_coefficients is None:
+            print("TeaCache disabled: no calibrated coefficients for this "
+                  "model (reference get_teacache_coefficients returned None)")
+            teacache_threshold = None
         # the live scheduler enters the cache key so runtime sampler
         # switching (controller.generate sampler=..., reference ui.py:472)
         # rebuilds the compiled loop

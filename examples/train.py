@@ -303,13 +303,18 @@ def main():
                 vae, vparams, loaded, g["pixels"], latents, lat_scale,
                 transformer.cfg, enc_mode, mesh, r_aug)
         if args.train_mode == "control":
-            batch["control_latents"] = enc_mode(
-                vparams, g["control_pixels"]).astype(latents.dtype)
+            ctl = enc_mode(vparams, g["control_pixels"])
+            # per-sample 20% zero-dropout so the model learns the
+            # unconditional branch (reference train_control.py:1787-1794)
+            keep = (jax.random.uniform(r_ref, (ctl.shape[0], 1, 1, 1, 1))
+                    >= 0.2).astype(ctl.dtype)
+            batch["control_latents"] = (ctl * keep).astype(latents.dtype)
         elif args.train_mode == "control_camera_ref":
             cam_np = loaded.get("control_camera_values")
             if cam_np is None:
-                # manifest entries without camera files condition on zeros
-                # (reference train_control.py:1375-1385)
+                # whole-manifest fallback (the dataset already emits zeros
+                # per sample when individual entries lack pose files,
+                # reference train_control.py:1375-1385)
                 pix = loaded["pixel_values"]
                 cam_np = np.zeros((pix.shape[0], 6, *pix.shape[2:]),
                                   np.float32)
@@ -453,11 +458,7 @@ def _camera_latents(cam, latents, vae_cfg, cfg, rng=None):
             keep = (jax.random.uniform(rng, (latents.shape[0], 1, 1, 1, 1))
                     >= 0.2).astype(jnp.float32)
             first = first * keep
-        ref = jnp.zeros(latents.shape, jnp.float32)
-        if latents.shape[2] > 1:
-            ref = ref.at[:, :, :1].set(first)
-        else:
-            ref = first
+        ref = jnp.zeros(latents.shape, jnp.float32).at[:, :, :1].set(first)
         ctl = jnp.concatenate([ctl, ref], axis=1)
     return ctl.astype(latents.dtype)
 
@@ -496,6 +497,12 @@ def _report_param_grad_norms(logger, step, params, batch, rng, transformer,
     params of the step being diagnosed."""
     from easyanimate_tpu.training.trainer import make_param_grad_norms
 
+    if not (isinstance(params, dict) and "params" in params):
+        # LoRA state: params is the factor tree, not full model params —
+        # the per-parameter diagnosis only applies to full SFT
+        print(f"step {step}: abnormal grad norm (per-param report "
+              "unavailable for LoRA states)")
+        return
     if "fn" not in _GRAD_NORM_FN:
         _GRAD_NORM_FN["fn"] = make_param_grad_norms(transformer, tcfg)
     norms = _GRAD_NORM_FN["fn"](params["params"], batch, rng)
@@ -560,14 +567,29 @@ def _inpaint_latents(vae, vparams, samples, pixels_sharded, latents, scale,
     masks = jax.device_put(
         np.asarray(samples["mask"], np.float32),  # (B,1,T,H,W) 1=regen
         NamedSharding(mesh, data_spec("latents")))
-    masked = pixels_sharded * (masks < 0.5)
+    r_flag = None
+    if rng is not None:
+        rng, r_flag = jax.random.split(rng)
+    # regenerate-regions filled with -1 (black), matching the reference
+    # trainer (train.py:1422) and inference (pipeline_..._inpaint.py:1346);
+    # the -1 fill is what keeps them clean under noise-aug
+    keep = (masks < 0.5).astype(pixels_sharded.dtype)
+    masked = pixels_sharded * keep - (1.0 - keep)
     if rng is not None and getattr(cfg, "add_noise_in_inpaint_model", False):
         masked = add_noise_to_reference_video(masked, rng)
     masked_lat = enc_mode(vparams, masked)
     mask_lat = resize_mask_to_latent(
         1.0 - masks, latents.shape,
         vae.cfg.chunk_mode == "cache_mag") * scale
-    return jnp.concatenate([mask_lat, masked_lat], axis=1).astype(latents.dtype)
+    inpaint = jnp.concatenate([mask_lat, masked_lat], axis=1)
+    if r_flag is not None:
+        # fully-masked samples are pure T2V: zero their inpaint latents
+        # with p=0.9 (reference train.py:1770-1779, applied at :1850)
+        fully = jnp.all(masks >= 0.5, axis=(1, 2, 3, 4))
+        drop = jax.random.uniform(r_flag, fully.shape) < 0.9
+        flag = jnp.where(fully & drop, 0.0, 1.0)
+        inpaint = inpaint * flag[:, None, None, None, None]
+    return inpaint.astype(latents.dtype)
 
 
 def _tiny_models(enable_inpaint, enable_control=False, enable_camera=False):

@@ -295,3 +295,32 @@ def test_batch_sampler_multihost_sharding():
     assert a == full[0::2]
     assert b == full[1::2]
     assert not (set(a) & set(b))
+
+
+def test_batch_sampler_multihost_same_kind_per_step():
+    """Mixed image/video manifests: at every global step all hosts must
+    draw from the SAME (kind, ratio) bucket, or the jitted global batch
+    shapes (image T=1 vs video T=f) diverge across processes."""
+    import numpy as np
+
+    from easyanimate_tpu.data import AspectRatioBatchSampler, ResumableRandomSampler
+
+    rng = np.random.default_rng(3)
+    info = [("image", 512.0, 512.0) if rng.random() < 0.5
+            else ("video", 384.0, 672.0) for _ in range(256)]
+
+    def batches(rank, count, n):
+        s = ResumableRandomSampler(256, seed=0)
+        bs = AspectRatioBatchSampler(
+            sampler=s, batch_size=4, sample_info=info,
+            shard_rank=rank, shard_count=count)
+        it = iter(bs)
+        return [next(it) for _ in range(n)]
+
+    a = batches(0, 2, 12)
+    b = batches(1, 2, 12)
+    for ba, bb in zip(a, b):
+        kinds_a = {info[i][0] for i in ba}
+        kinds_b = {info[i][0] for i in bb}
+        assert len(kinds_a) == 1 and kinds_a == kinds_b
+        assert not (set(ba) & set(bb))
