@@ -208,10 +208,17 @@ def main():
         # the apples-to-apples numbers next to the tracked fast config: the
         # A100 3.7 s/step baseline was measured on the DENSE model, so the
         # dense s/step rides in the same tracked artifact (VERDICT r2)
-        dense_int8, _ = _measure_config(args, False, True, None, height,
-                                        width, frames, text_len)
-        dense_bf16, _ = _measure_config(args, False, False, None, height,
-                                        width, frames, text_len)
+        primary_is = (use_swa, args.int8, teacache)
+        if primary_is == (False, True, None):
+            dense_int8 = sec_per_step
+        else:
+            dense_int8, _ = _measure_config(args, False, True, None, height,
+                                            width, frames, text_len)
+        if primary_is == (False, False, None):
+            dense_bf16 = sec_per_step
+        else:
+            dense_bf16, _ = _measure_config(args, False, False, None, height,
+                                            width, frames, text_len)
         decode_s = _measure_decode(final_latents)
         baseline_wall = {(384, 672, 49): 90.0, (384, 672, 25): 45.0,
                          (576, 1008, 49): 300.0}.get((height, width, frames))

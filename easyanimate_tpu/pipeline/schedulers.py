@@ -459,9 +459,17 @@ def make_scheduler(name: str, base=None, **overrides):
         if isinstance(base, FlowMatchEulerConfig):
             return dataclasses.replace(base, **overrides)
         return FlowMatchEulerConfig(**overrides)
+    if type(base) is cls:
+        # re-selecting the current sampler is a no-op: keep subclass-only
+        # fields (e.g. DPMSolverConfig.solver_order) intact
+        return dataclasses.replace(base, **overrides)
     fields = {}
     if isinstance(base, DDIMConfig):
+        # copy every field the target class shares with the base (diffusers
+        # from_config(scheduler.config) keeps all matching keys)
+        target_names = {f.name for f in dataclasses.fields(cls)}
         fields = {f.name: getattr(base, f.name)
-                  for f in dataclasses.fields(DDIMConfig)}
+                  for f in dataclasses.fields(type(base))
+                  if f.name in target_names}
     fields.update(overrides)
     return cls(**fields)

@@ -154,10 +154,11 @@ class EasyAnimatePipeline:
         shape = self.latent_shape(b, video_length, height, width)
         if latents is None:
             latents = jax.random.normal(rng, shape, jnp.float32)
-            # sigma-space samplers start from sigma_max-scaled noise
-            # (diffusers init_noise_sigma; == 1.0 for flow/DDIM/DPM/PNDM)
-            latents = latents * init_noise_sigma(self.scheduler,
-                                                 num_inference_steps)
+        # sigma-space samplers start from sigma_max-scaled noise; applies to
+        # caller-supplied unit-variance latents too (diffusers
+        # prepare_latents scales both paths; == 1.0 for flow/DDIM/DPM/PNDM)
+        latents = latents * init_noise_sigma(self.scheduler,
+                                             num_inference_steps)
         latents = latents.astype(self.mmdit_cfg.jdtype)
 
         txt = prompt_embeds

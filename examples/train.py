@@ -559,14 +559,17 @@ def _inpaint_latents(vae, vparams, samples, pixels_sharded, latents, scale,
     import jax.numpy as jnp
     import numpy as np
 
-    from jax.sharding import NamedSharding
     from easyanimate_tpu.parallel import data_spec
+    from easyanimate_tpu.parallel.multihost import make_global_batch
     from easyanimate_tpu.pipeline.inpaint import (
         add_noise_to_reference_video, resize_mask_to_latent)
 
-    masks = jax.device_put(
-        np.asarray(samples["mask"], np.float32),  # (B,1,T,H,W) 1=regen
-        NamedSharding(mesh, data_spec("latents")))
+    # (B,1,T,H,W) 1=regen; assembled like every other batch tensor so the
+    # local slice lands in this process's addressable shards of the GLOBAL
+    # array (a bare device_put would treat it as the full global value)
+    masks = make_global_batch(
+        mesh, {"mask": np.asarray(samples["mask"], np.float32)},
+        {"mask": data_spec("latents")})["mask"]
     r_flag = None
     if rng is not None:
         rng, r_flag = jax.random.split(rng)

@@ -151,6 +151,19 @@ def test_make_scheduler_registry_names():
         make_scheduler("nope")
 
 
+def test_make_scheduler_preserves_subclass_fields():
+    """Re-selecting the current sampler keeps subclass-only fields, and
+    switching away copies every shared field (diffusers from_config)."""
+    from easyanimate_tpu.pipeline import DPMSolverConfig
+
+    base = DPMSolverConfig(solver_order=1, prediction_type="v_prediction")
+    same = make_scheduler("DPM++", base=base)
+    assert same.solver_order == 1
+    assert same.prediction_type == "v_prediction"
+    other = make_scheduler("Euler", base=base)
+    assert other.prediction_type == "v_prediction"
+
+
 def test_make_scheduler_inherits_base_config():
     base = DDIMConfig(prediction_type="v_prediction",
                       beta_schedule="squaredcos_cap_v2")
