@@ -21,9 +21,30 @@ def _to_thwc_uint8(video: np.ndarray, rescale: bool = False) -> np.ndarray:
     return (np.transpose(v, (1, 2, 3, 0)) * 255).astype(np.uint8)
 
 
+def color_transfer(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Match src's per-channel LAB mean/std to ref's (reference
+    utils.py:21-47). uint8 HWC RGB in, uint8 HWC RGB out. Used to pin
+    later frames' color statistics to frame 0 against slow drift in long
+    sliding-window generations."""
+    import cv2
+
+    s = cv2.cvtColor(src, cv2.COLOR_RGB2LAB).astype(np.float64)
+    r = cv2.cvtColor(ref, cv2.COLOR_RGB2LAB).astype(np.float64)
+    s_mean = s.mean(axis=(0, 1))
+    s_std = s.std(axis=(0, 1))
+    r_mean = r.mean(axis=(0, 1))
+    r_std = r.std(axis=(0, 1))
+    out = (s - s_mean) * (r_std / np.maximum(s_std, 1e-6)) + r_mean
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    return cv2.cvtColor(out, cv2.COLOR_LAB2RGB)
+
+
 def save_videos_grid(videos: np.ndarray, path: str, fps: int = 8,
-                     rescale: bool = False):
-    """videos (B,C,T,H,W) in [0,1] (or [-1,1] with rescale) -> mp4/gif."""
+                     rescale: bool = False,
+                     color_transfer_post_process: bool = False):
+    """videos (B,C,T,H,W) in [0,1] (or [-1,1] with rescale) -> mp4/gif.
+    color_transfer_post_process pins every frame's color statistics to
+    frame 0 (reference utils.py:60-62)."""
     import imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -33,6 +54,9 @@ def save_videos_grid(videos: np.ndarray, path: str, fps: int = 8,
                        axis=1)
         for t in range(videos.shape[2])
     ]
+    if color_transfer_post_process and len(frames_per_t) > 1:
+        frames_per_t = [frames_per_t[0]] + [
+            color_transfer(f, frames_per_t[0]) for f in frames_per_t[1:]]
     if path.endswith(".gif"):
         imageio.mimsave(path, frames_per_t, duration=1000 / fps, loop=0)
         return

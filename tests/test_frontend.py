@@ -201,3 +201,24 @@ def test_update_edition_switches_config():
     assert cfg4 != cfg
     with pytest.raises(ValueError):
         ctl.update_edition("v99")
+
+
+def test_color_transfer_post_process(tmp_path):
+    """color_transfer matches frame color statistics to frame 0 (reference
+    utils.py:49-73 save_videos_grid color_transfer_post_process)."""
+    import numpy as np
+
+    from easyanimate_tpu.utils.media import color_transfer, save_videos_grid
+
+    rng = np.random.RandomState(0)
+    ref = rng.randint(0, 255, (16, 16, 3), np.uint8)
+    # src: same content, globally brightened -> transfer restores stats
+    src = np.clip(ref.astype(np.int32) + 60, 0, 255).astype(np.uint8)
+    out = color_transfer(src, ref)
+    assert out.shape == ref.shape and out.dtype == np.uint8
+    assert abs(out.astype(float).mean() - ref.astype(float).mean()) < 6.0
+
+    video = rng.rand(1, 3, 4, 16, 16).astype(np.float32)
+    p = tmp_path / "v.gif"
+    save_videos_grid(video, str(p), color_transfer_post_process=True)
+    assert p.exists()
