@@ -98,3 +98,78 @@ def test_train_control_camera_ref(tmp_path):
               "--mesh", "dp=1,sp=1,tp=1"], cwd=str(tmp_path))
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
     assert "step 0: loss=" in r.stdout
+
+
+def _load_train_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ea_train", os.path.join(REPO, "examples", "train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_inpaint_latents_minus_one_fill_and_t2v_flag():
+    """Masked regions encode as -1-filled (reference train.py:1422) and
+    fully-masked samples zero their inpaint latents with p=0.9
+    (t2v_flag, reference train.py:1770-1779, applied at :1850)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from easyanimate_tpu.models.vae import (AutoencoderKLMagvit,
+                                            MagvitVAEConfig, gaussian_mode,
+                                            vae_encode)
+
+    mod = _load_train_module()
+    cfg = MagvitVAEConfig(
+        latent_channels=4, block_out_channels=(8, 16),
+        down_block_types=("SpatialTemporalDownBlock3D", "SpatialDownBlock3D"),
+        up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
+        layers_per_block=1, norm_num_groups=4, mini_batch_encoder=2,
+        mini_batch_decoder=1)
+    vae = AutoencoderKLMagvit(cfg)
+    vp = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 8, 8, 3)))
+    enc_mode = lambda p, x: gaussian_mode(vae_encode(vae, p, x), axis=1)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                ("dp", "sp", "tp"))
+
+    b, t, h, w = 4, 5, 16, 16
+    pixels = jnp.asarray(np.random.RandomState(0).rand(
+        b, 3, t, h, w).astype(np.float32) * 2 - 1)
+    # sample 0: fully masked (pure T2V); samples 1-3: top half kept
+    masks = np.zeros((b, 1, t, h, w), np.float32)
+    masks[0] = 1.0
+    masks[1:, :, :, h // 2:, :] = 1.0
+    samples = {"mask": masks}
+    latents = enc_mode(vp, pixels)
+    tcfg = type("C", (), {"add_noise_in_inpaint_model": False})()
+
+    with mesh:
+        # rng=None path: no noise-aug, no t2v_flag -> deterministic
+        out = np.asarray(mod._inpaint_latents(
+            vae, vp, samples, pixels, latents, 1.0, tcfg, enc_mode, mesh,
+            rng=None))
+        # masked region got -1 fill: encode -1-filled pixels directly and
+        # compare the masked-latent channels
+        keep = (masks < 0.5).astype(np.float32)
+        want = np.asarray(enc_mode(
+            vp, jnp.asarray(pixels * keep - (1.0 - keep))))
+        np.testing.assert_allclose(out[:, -want.shape[1]:], want, atol=1e-5)
+
+        # with rng: fully-masked sample 0 is zeroed w.p. 0.9 -- over many
+        # keys it must zero sometimes and keep sometimes; samples 1-3 never
+        zeroed = kept = 0
+        for s in range(20):
+            o = np.asarray(mod._inpaint_latents(
+                vae, vp, samples, pixels, latents, 1.0, tcfg, enc_mode,
+                mesh, rng=jax.random.PRNGKey(s)))
+            assert np.abs(o[1:]).max() > 0
+            if np.abs(o[0]).max() == 0:
+                zeroed += 1
+            else:
+                kept += 1
+        assert zeroed > 10 and kept >= 1, (zeroed, kept)
