@@ -534,6 +534,195 @@ def export_vae_state_dict(variables, cfg: MagvitVAEConfig) -> Dict[str, np.ndarr
     return out
 
 
+# ---------------------------------------------------------------------------
+# LoRA export/import (kohya / sd-webui format).
+# The reference trains and ships LoRAs as `lora_unet_<module>.lora_up.weight`
+# / `.lora_down.weight` / `.alpha` safetensors (utils/lora_utils.py:158-341:
+# LoRANetwork names every Linear child of the transformer
+# `lora_unet_` + module path with dots replaced by underscores;
+# scripts/train_lora.py:1552 saves `lora_diffusion_pytorch_model.safetensors`)
+# and merges them as W += multiplier * (alpha/r) * up @ down
+# (lora_utils.py:416-432). Our LoRA tree (training/lora.py) keys flax kernel
+# paths to {'down': (..., in, r), 'up': (..., r, out)} factors -- merge
+# kernel += (alpha/r) * down @ up is the same delta transposed, so the
+# factors map 1:1: lora_down.weight = down.T, lora_up.weight = up.T.
+# PermutedDense applies its RoPE de-interleave at apply time, so stored
+# kernels (and therefore LoRA factors) are already in reference feature
+# order -- no permutation is needed here.
+# ---------------------------------------------------------------------------
+
+LORA_PREFIX_TRANSFORMER = "lora_unet"  # lora_utils.py:161
+
+
+def _kohya_name(module_path: str) -> str:
+    return LORA_PREFIX_TRANSFORMER + "_" + module_path.replace(".", "_")
+
+
+def _block_linear_suffixes() -> Dict[str, str]:
+    """flax block kernel suffix -> reference Linear module path suffix."""
+    out = {}
+    for src, (dst, fn) in _block_mapping("").items():
+        if fn is _t and dst.endswith("/kernel"):
+            out[dst] = src[:-len(".weight")]
+    return out
+
+
+def _top_linear_map(cfg: MMDiTConfig) -> Dict[str, str]:
+    """flax top-level kernel path -> reference Linear module path."""
+    out = {}
+    for src, (dst, fn) in _mmdit_top_mapping(cfg).items():
+        if fn is _t and dst.endswith("/kernel"):
+            out[dst] = src[:-len(".weight")]
+    return out
+
+
+def _mmdit_layer_regions(cfg: MMDiTConfig):
+    """[(flax prefix, first global layer, layer count, stacked)] mirroring
+    the scan-segment layout used by convert/export_mmdit_state_dict."""
+    if cfg.scan_layers and cfg.homogeneous:
+        return [("blocks/block", 0, cfg.num_layers, True)]
+    if cfg.scan_layers:
+        regions, layer = [], 0
+        for k, (_, _, count) in enumerate(cfg.segments()):
+            if count > 1:
+                regions.append((f"blocks_seg{k}/block", layer, count, True))
+            else:
+                regions.append((f"block{layer}", layer, 1, False))
+            layer += count
+        return regions
+    return [(f"block{i}", i, 1, False) for i in range(cfg.num_layers)]
+
+
+def export_lora_state_dict(lora, alpha: float,
+                           cfg: MMDiTConfig) -> Dict[str, np.ndarray]:
+    """LoRA factor tree -> kohya state dict the reference ecosystem consumes
+    (merge_lora in utils/lora_utils.py, sd-webui-additional-networks).
+    Scan-stacked (L, ., .) factors unstack to per-layer modules."""
+    suffixes = _block_linear_suffixes()
+    top = _top_linear_map(cfg)
+    regions = _mmdit_layer_regions(cfg)
+    alpha_arr = np.asarray(alpha, np.float32)
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(module_path, down, up):
+        name = _kohya_name(module_path)
+        out[name + ".lora_down.weight"] = _t(down)
+        out[name + ".lora_up.weight"] = _t(up)
+        out[name + ".alpha"] = alpha_arr
+
+    for path, fac in sorted(lora.items()):
+        down = np.asarray(fac["down"], np.float32)
+        up = np.asarray(fac["up"], np.float32)
+        region = next((r for r in regions if path.startswith(r[0] + "/")),
+                      None)
+        if region is not None:
+            prefix, first, count, stacked = region
+            mod = suffixes.get(path[len(prefix) + 1:])
+            if mod is None:
+                raise ValueError(f"no reference module for LoRA path {path}")
+            if stacked:
+                assert down.shape[0] == count, (path, down.shape, count)
+                for i in range(count):
+                    emit(f"transformer_blocks.{first + i}.{mod}",
+                         down[i], up[i])
+            else:
+                emit(f"transformer_blocks.{first}.{mod}", down, up)
+        elif path in top:
+            emit(top[path], down, up)
+        else:
+            raise ValueError(f"no reference module for LoRA path {path}")
+    return out
+
+
+def convert_lora_state_dict(sd: Dict[str, np.ndarray], cfg: MMDiTConfig,
+                            skip_text_encoder: bool = True):
+    """kohya LoRA state dict -> (LoRA factor tree, LoRAConfig).
+
+    Text-encoder factors (`lora_te_*`, lora_utils.py:162) are skipped by
+    default -- the repo trains/merges transformer LoRAs; pass
+    skip_text_encoder=False to fail loud instead. For scan-stacked kernel
+    regions every covered layer must be present (partial per-layer LoRAs
+    on a stacked region are rejected rather than silently zero-filled)."""
+    from ..training.lora import LoRAConfig
+
+    # kohya name -> (flax kernel path, slot index or None, region layer count)
+    table = {}
+    suffixes = _block_linear_suffixes()
+    for prefix, first, count, stacked in _mmdit_layer_regions(cfg):
+        for dst, mod in suffixes.items():
+            for i in range(count):
+                table[_kohya_name(f"transformer_blocks.{first + i}.{mod}")] \
+                    = (f"{prefix}/{dst}", i if stacked else None, count)
+    for dst, mod in _top_linear_map(cfg).items():
+        table[_kohya_name(mod)] = (dst, None, 1)
+
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, v in sd.items():
+        for kind in (".lora_down.weight", ".lora_up.weight", ".alpha"):
+            if key.endswith(kind):
+                name = key[:-len(kind)]
+                break
+        else:
+            raise ValueError(f"unrecognised LoRA key {key}")
+        if name.startswith("lora_te"):
+            if skip_text_encoder:
+                continue
+            raise ValueError(f"text-encoder LoRA not supported: {name}")
+        if name not in table:
+            raise ValueError(f"LoRA module {name} has no kernel in this "
+                             "model config")
+        groups.setdefault(name, {})[kind] = np.asarray(v)
+
+    slots: Dict[str, Dict[int, tuple]] = {}
+    ranks, alphas = set(), set()
+    for name, g in groups.items():
+        missing = {".lora_down.weight", ".lora_up.weight"} - set(g)
+        if missing:
+            raise ValueError(f"{name} missing {missing}")
+        down = _t(g[".lora_down.weight"].astype(np.float32))  # (in, r)
+        up = _t(g[".lora_up.weight"].astype(np.float32))      # (r, out)
+        rank = down.shape[1]
+        ranks.add(rank)
+        # kohya convention: absent alpha means alpha == rank (scale 1)
+        alphas.add(float(g.get(".alpha", rank)))
+        path, slot, count = table[name]
+        slots.setdefault(path, {})[0 if slot is None else slot] = (down, up)
+
+    if len(ranks) > 1:
+        raise ValueError(f"mixed LoRA ranks {sorted(ranks)} unsupported")
+    if len(alphas) > 1:
+        raise ValueError(f"mixed LoRA alphas {sorted(alphas)} unsupported")
+
+    import jax.numpy as jnp
+
+    lora = {}
+    for path, per_slot in slots.items():
+        count = next(c for (p, s, c) in table.values() if p == path)
+        if count > 1:
+            have = sorted(per_slot)
+            if have != list(range(count)):
+                raise ValueError(
+                    f"scan-stacked kernel {path} needs all {count} layers; "
+                    f"got slots {have[:6]}...")
+            down = np.stack([per_slot[i][0] for i in range(count)])
+            up = np.stack([per_slot[i][1] for i in range(count)])
+        else:
+            down, up = per_slot[0]
+        lora[path] = {"down": jnp.asarray(down), "up": jnp.asarray(up)}
+    if not lora:
+        raise ValueError("state dict contained no transformer LoRA modules")
+    rank = next(iter(ranks))
+    return lora, LoRAConfig(rank=rank, alpha=next(iter(alphas)))
+
+
+def save_lora_reference(path: str, lora, alpha: float, cfg: MMDiTConfig):
+    """Write a kohya-format LoRA safetensors file (the reference's
+    `lora_diffusion_pytorch_model.safetensors`, scripts/train_lora.py:1552)."""
+    from safetensors.numpy import save_file
+
+    save_file(export_lora_state_dict(lora, alpha, cfg), path)
+
+
 def _mmdit_config_json(cfg: MMDiTConfig) -> Dict:
     """MMDiTConfig -> reference transformer config.json fields (the inverse
     of loader.mmdit_config_from_json)."""

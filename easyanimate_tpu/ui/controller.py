@@ -94,7 +94,16 @@ class EasyAnimateController:
                     self.lora_cfg)}
             self._lora_merged = False
         if path:
-            self._lora, self.lora_cfg = load_lora(path)
+            if path.endswith(".safetensors"):
+                # reference-ecosystem (kohya) LoRA checkpoint, as the
+                # reference ui loads via merge_lora (ui.py update_lora_model)
+                from ..models.convert import (convert_lora_state_dict,
+                                              load_safetensors)
+
+                self._lora, self.lora_cfg = convert_lora_state_dict(
+                    load_safetensors(path), self.pipeline.transformer.cfg)
+            else:
+                self._lora, self.lora_cfg = load_lora(path)
             self.pipeline.transformer_params = {
                 "params": merge_lora(
                     self.pipeline.transformer_params["params"], self._lora,

@@ -365,6 +365,18 @@ def main():
                 _log_validation(args, transformer, vae,
                                 state, vparams, encode_text, step + 1)
     ckpts.save(args.max_train_steps, state, sampler.state_dict())
+    if args.lora_rank > 0 and jax.process_index() == 0:
+        # reference train_lora.py:1552/2154 ships the trained network as a
+        # kohya safetensors file the whole ecosystem (predict scripts,
+        # webui, ComfyUI) can merge
+        from easyanimate_tpu.models.convert import save_lora_reference
+
+        lora_path = os.path.join(args.output_dir,
+                                 "lora_diffusion_pytorch_model.safetensors")
+        save_lora_reference(lora_path, jax.device_get(state.params),
+                            LoRAConfig(rank=args.lora_rank).alpha,
+                            transformer.cfg)
+        print("exported reference-format LoRA to", lora_path)
     if jax.process_index() == 0:
         print("done; checkpoints in", ckpts.directory)
 

@@ -384,3 +384,155 @@ def test_save_reference_checkpoint_shards(rng, tmp_path):
     txt = jnp.zeros((1, 5, cfg.text_embed_dim))
     o = model.apply(variables, lat, jnp.array([1.0]), txt, None)
     assert np.isfinite(np.asarray(o)).all()
+
+
+# ---------------------------------------------------------------------------
+# LoRA export/import: kohya-format state dicts (utils/lora_utils.py naming,
+# scripts/train_lora.py:1552 save) round-trip through the flax factor tree,
+# and the kohya merge formula W += (alpha/r) * up @ down reproduces the
+# repo's merge_lora exactly.
+# ---------------------------------------------------------------------------
+
+
+def _lora_fixture(rng, cfg):
+    from easyanimate_tpu.models.convert import convert_mmdit_state_dict
+    from easyanimate_tpu.training.lora import LoRAConfig, lora_init
+
+    sd = _synth_mmdit_sd(cfg, rng)
+    variables = convert_mmdit_state_dict(sd, cfg)
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    lora = lora_init(variables["params"], lcfg, jax.random.PRNGKey(1))
+    # up is zero-initialised; fill both factors so deltas are nonzero
+    lora = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.standard_normal(x.shape).astype(np.float32) * 0.05), lora)
+    return sd, variables, lcfg, lora
+
+
+@pytest.mark.parametrize("scan", [True, False])
+def test_lora_export_round_trip(rng, scan):
+    from easyanimate_tpu.models.convert import (convert_lora_state_dict,
+                                                export_lora_state_dict)
+
+    cfg = dataclasses.replace(PRESETS["tiny"], scan_layers=scan,
+                              text_embed_dim_t5=None)
+    _, _, lcfg, lora = _lora_fixture(rng, cfg)
+    ksd = export_lora_state_dict(lora, lcfg.alpha, cfg)
+    # kohya naming: every module contributes down/up/alpha
+    assert all(k.startswith("lora_unet_") for k in ksd)
+    mods = {k.rsplit(".", 2)[0] for k in ksd if k.endswith(".weight")}
+    assert len(ksd) == 3 * len(mods)
+    assert any("transformer_blocks_0_attn1_to_q" in m for m in mods)
+    # torch layout: lora_down (r, in), lora_up (out, r)
+    down = ksd["lora_unet_transformer_blocks_0_attn1_to_q.lora_down.weight"]
+    assert down.shape == (lcfg.rank, cfg.inner_dim)
+
+    back, bcfg = convert_lora_state_dict(ksd, cfg)
+    assert bcfg.rank == lcfg.rank and bcfg.alpha == lcfg.alpha
+    flat_a = flax.traverse_util.flatten_dict(lora, sep="/")
+    flat_b = flax.traverse_util.flatten_dict(back, sep="/")
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)
+
+
+def test_lora_export_segmented_swa_layout(rng):
+    """Heterogeneous scan segments (SWA fast config) un/restack with correct
+    global layer indices."""
+    from easyanimate_tpu.models.convert import (convert_lora_state_dict,
+                                                export_lora_state_dict)
+
+    cfg = dataclasses.replace(PRESETS["tiny"], num_layers=3,
+                              swa_layers=(1, 2), text_embed_dim_t5=None)
+    _, _, lcfg, lora = _lora_fixture(rng, cfg)
+    ksd = export_lora_state_dict(lora, lcfg.alpha, cfg)
+    for i in range(3):
+        assert (f"lora_unet_transformer_blocks_{i}_ff_net_0_proj"
+                ".lora_down.weight") in ksd
+    back, _ = convert_lora_state_dict(ksd, cfg)
+    flat_a = flax.traverse_util.flatten_dict(lora, sep="/")
+    flat_b = flax.traverse_util.flatten_dict(back, sep="/")
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)
+
+
+@pytest.mark.parametrize("scan", [True, False])
+def test_lora_export_matches_reference_merge(rng, scan):
+    """Applying the reference's merge (lora_utils.py:416-432:
+    W += multiplier * (alpha/r) * up @ down on torch-layout weights) to the
+    exported state dicts equals the repo's merge_lora on the flax tree."""
+    from easyanimate_tpu.models.convert import (convert_mmdit_state_dict,
+                                                export_lora_state_dict)
+    from easyanimate_tpu.training.lora import merge_lora
+
+    cfg = dataclasses.replace(PRESETS["tiny"], scan_layers=scan,
+                              text_embed_dim_t5=None)
+    sd, variables, lcfg, lora = _lora_fixture(rng, cfg)
+    ksd = export_lora_state_dict(lora, lcfg.alpha, cfg)
+
+    # reference-side merge on the torch-layout dict
+    merged_sd = dict(sd)
+    mods = {k.rsplit(".", 2)[0] for k in ksd if k.endswith(".weight")}
+    for m in mods:
+        assert m.startswith("lora_unet_")
+        torch_key = m[len("lora_unet_"):].replace("_", ".") + ".weight"
+        # module paths have no digits-with-underscore ambiguity except
+        # transformer.blocks.N -> fix the two known dots
+        torch_key = torch_key.replace("transformer.blocks.", "transformer_blocks.")
+        torch_key = torch_key.replace("to.q", "to_q").replace(
+            "to.k", "to_k").replace("to.v", "to_v").replace(
+            "to.out", "to_out").replace("net.0.proj", "net.0.proj").replace(
+            "txt.ff", "txt_ff").replace("time.embedding", "time_embedding").replace(
+            "text.proj", "text_proj").replace("norm.out", "norm_out").replace(
+            "proj.out", "proj_out")
+        assert torch_key in merged_sd, torch_key
+        up = ksd[m + ".lora_up.weight"]
+        down = ksd[m + ".lora_down.weight"]
+        scale = float(ksd[m + ".alpha"]) / down.shape[0]
+        merged_sd[torch_key] = merged_sd[torch_key] + scale * (up @ down)
+
+    ref_tree = convert_mmdit_state_dict(merged_sd, cfg)
+    our_tree = {"params": merge_lora(variables["params"], lora, lcfg)}
+    flat_a = flax.traverse_util.flatten_dict(ref_tree["params"], sep="/")
+    flat_b = flax.traverse_util.flatten_dict(our_tree["params"], sep="/")
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_allclose(np.asarray(flat_a[k]),
+                                   np.asarray(flat_b[k]),
+                                   atol=1e-5, err_msg=k)
+
+
+def test_lora_convert_rejects_partial_stacked(rng):
+    from easyanimate_tpu.models.convert import (convert_lora_state_dict,
+                                                export_lora_state_dict)
+
+    cfg = dataclasses.replace(PRESETS["tiny"], scan_layers=True,
+                              text_embed_dim_t5=None)
+    _, _, lcfg, lora = _lora_fixture(rng, cfg)
+    ksd = export_lora_state_dict(lora, lcfg.alpha, cfg)
+    pre = "lora_unet_transformer_blocks_1_attn1_to_q"
+    for kind in (".lora_down.weight", ".lora_up.weight", ".alpha"):
+        del ksd[pre + kind]
+    with pytest.raises(ValueError, match="all 2 layers"):
+        convert_lora_state_dict(ksd, cfg)
+
+
+def test_lora_convert_skips_text_encoder_and_rejects_unknown(rng):
+    from easyanimate_tpu.models.convert import (convert_lora_state_dict,
+                                                export_lora_state_dict)
+
+    cfg = dataclasses.replace(PRESETS["tiny"], scan_layers=True,
+                              text_embed_dim_t5=None)
+    _, _, lcfg, lora = _lora_fixture(rng, cfg)
+    ksd = export_lora_state_dict(lora, lcfg.alpha, cfg)
+    ksd["lora_te_text_model_encoder_layers_0_mlp_fc1.lora_down.weight"] = \
+        np.zeros((4, 8), np.float32)
+    back, _ = convert_lora_state_dict(ksd, cfg)  # silently skipped
+    assert set(back) == set(lora)
+    ksd["lora_unet_transformer_blocks_9_attn9_to_q.lora_down.weight"] = \
+        np.zeros((4, 8), np.float32)
+    with pytest.raises(ValueError, match="no kernel"):
+        convert_lora_state_dict(ksd, cfg)
