@@ -222,3 +222,49 @@ def test_color_transfer_post_process(tmp_path):
     p = tmp_path / "v.gif"
     save_videos_grid(video, str(p), color_transfer_post_process=True)
     assert p.exists()
+
+
+def test_controller_update_lora_safetensors(tmp_path, rng):
+    """The controller's kohya-checkpoint branch (reference ui.py
+    update_lora_model -> merge_lora on a .safetensors file): merging a
+    reference-format LoRA changes generation, clearing restores it."""
+    from easyanimate_tpu.models.convert import save_lora_reference
+    from easyanimate_tpu.pipeline import EasyAnimatePipeline
+    from easyanimate_tpu.training.lora import LoRAConfig, lora_init
+
+    cfg = dataclasses.replace(PRESETS["tiny"], in_channels=4, out_channels=4)
+    transformer = EasyAnimateTransformer3D(cfg)
+    vae = AutoencoderKLMagvit(TINY_VAE)
+    lat = jnp.zeros((1, 4, 2, 16, 16))
+    txt = jnp.zeros((1, 6, cfg.text_embed_dim))
+    tp = transformer.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                          None)
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3)))
+    pipe = EasyAnimatePipeline(transformer=transformer, vae=vae,
+                               transformer_params=tp, vae_params=vp)
+    ctl = EasyAnimateController(pipeline=pipe)
+
+    pos = jnp.asarray(
+        rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    kw = dict(height=16, width=16, video_length=5, num_inference_steps=2,
+              guidance_scale=2.0, output_type="latent")
+    base = np.asarray(ctl.pipeline(pos, neg, rng=jax.random.PRNGKey(7), **kw))
+
+    lcfg = LoRAConfig(rank=2)
+    lora = lora_init(tp["params"], lcfg, jax.random.PRNGKey(2))
+    lora = jax.tree.map(lambda x: jnp.asarray(
+        rng.standard_normal(x.shape).astype(np.float32) * 0.2), lora)
+    path = str(tmp_path / "lora_diffusion_pytorch_model.safetensors")
+    save_lora_reference(path, jax.device_get(lora), lcfg.alpha, cfg)
+
+    ctl.update_lora(path, scale=1.0)
+    assert ctl.lora_cfg.rank == 2
+    with_lora = np.asarray(
+        ctl.pipeline(pos, neg, rng=jax.random.PRNGKey(7), **kw))
+    assert np.abs(with_lora - base).max() > 1e-3
+
+    ctl.update_lora(None)
+    restored = np.asarray(
+        ctl.pipeline(pos, neg, rng=jax.random.PRNGKey(7), **kw))
+    np.testing.assert_allclose(restored, base, atol=1e-5)
