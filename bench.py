@@ -79,11 +79,13 @@ def _safe_scan_chunk(args, use_swa: bool, int8: bool, height, width,
             (False, True): 4.6, (False, False): 5.3}[(use_swa, int8)]
     tokens = (height // 16) * (width // 16) * ((frames - 1) // 4 + 1)
     est = base * max(tokens / 13104.0, 1.0) ** 1.5
+    if getattr(args, "cfg_split", False):
+        est *= 1.1  # two half-batch programs per segment, slight overhead
     return max(1, min(args.scan_chunk, int(50.0 / est)))
 
 
 def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
-                    frames, text_len, keep_final=False):
+                    frames, text_len, keep_final=False, int4: bool = False):
     """Full protocol for one config: build fp8/int8 params, warm 25-step
     run, timed 25-step run. Returns (s/step, final_latents_or_None)."""
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
@@ -95,7 +97,11 @@ def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
     if use_swa:
         # V5.1 SWA variant: dense attention on layer 0, windowed elsewhere
         cfg = dataclasses.replace(cfg, swa_layers=tuple(range(1, 48)))
-    if int8:
+    if int4:
+        # W4A16 packed block linears (ops/quant.py): ~6 GB resident — the
+        # memory mode that fits 576x1008x49f on one 16 GB chip
+        cfg = dataclasses.replace(cfg, linear_quant="int4")
+    elif int8:
         cfg = dataclasses.replace(cfg, linear_quant="int8")
     model = EasyAnimateTransformer3D(cfg)
 
@@ -179,6 +185,9 @@ def main():
     ap.add_argument("--int8", action="store_true", default=True,
                     help="W8A8 int8 block linears (ops/quant.py; default on)")
     ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--int4", action="store_true",
+                    help="packed int4 block linears (W4A16 memory mode, "
+                         "~6 GB resident; overrides --int8)")
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--scan_chunk", type=int, default=8,
                     help="bounded-runtime denoise segments (CLAUDE.md)")
@@ -200,8 +209,8 @@ def main():
                                        args.frames, 256)
 
     sec_per_step, final_latents = _measure_config(
-        args, use_swa, args.int8, teacache, height, width, frames, text_len,
-        keep_final=args.secondary)
+        args, use_swa, args.int8 and not args.int4, teacache, height, width,
+        frames, text_len, keep_final=args.secondary, int4=args.int4)
 
     extra = {}
     if args.secondary:
@@ -239,11 +248,14 @@ def main():
     baseline = baselines.get((height, width, frames), 3.7)
     label = {"swa_teacache": "SWA+TeaCache", "swa": "SWA",
              "plain": "dense"}[args.config]
-    if args.int8:
+    if args.int4:
+        label += "+int4"
+    elif args.int8:
         label += "+int8"
     if args.cfg_split:
         label += "+cfg_split"
-    weights = "int8 W8A8 linears, fp8 rest" if args.int8 else "fp8 weights"
+    weights = ("int4 W4A16 linears, fp8 rest" if args.int4 else
+               "int8 W8A8 linears, fp8 rest" if args.int8 else "fp8 weights")
     print(json.dumps({
         "metric": (f"12B MMDiT denoise s/step, T2V {height}x{width}x"
                    f"{frames}f 25-step CFG, {label} ({weights}, 1x v5e)"),

@@ -215,6 +215,7 @@ def load_pipeline(
     dtype: str = "bfloat16",
     fp8_weights: bool = False,
     int8_linears: bool = False,
+    int4_weights: bool = False,
     scheduler: Optional[str] = None,
     strict: bool = True,
 ):
@@ -224,15 +225,21 @@ def load_pipeline(
     expected parameter inventory (fail-loud on layout drift).
     int8_linears=True quantizes the block linears to W8A8 int8
     (ops/quant.py; ~1.5x MXU throughput on v5e) -- composes with
-    fp8_weights for the non-block remainder."""
+    fp8_weights for the non-block remainder.
+    int4_weights=True stores the block linears as group-128 packed int4
+    (W4A16 memory mode, ~6 GB resident for the 12B: fits 576x1008x49f on
+    one 16 GB chip) -- mutually exclusive with int8_linears."""
+    if int8_linears and int4_weights:
+        raise ValueError("int8_linears and int4_weights are exclusive")
+    quant = "int8" if int8_linears else ("int4" if int4_weights else None)
     tcfg_json = _read_json(os.path.join(model_path, "transformer", "config.json"))
     vcfg_json = _read_json(os.path.join(model_path, "vae", "config.json"))
     mmdit_cfg = mmdit_config_from_json(tcfg_json, dtype)
     vae_cfg = vae_config_from_json(vcfg_json, dtype)
-    if int8_linears:
+    if quant:
         import dataclasses
 
-        mmdit_cfg = dataclasses.replace(mmdit_cfg, linear_quant="int8")
+        mmdit_cfg = dataclasses.replace(mmdit_cfg, linear_quant=quant)
 
     transformer = EasyAnimateTransformer3D(mmdit_cfg)
     vae = AutoencoderKLMagvit(vae_cfg)
@@ -241,10 +248,14 @@ def load_pipeline(
     vsd = _load_safetensors_dir(os.path.join(model_path, "vae"))
     tparams = convert_mmdit_state_dict(tsd, mmdit_cfg)
     vparams = convert_vae_state_dict(vsd, vae_cfg)
-    if int8_linears:
+    if quant == "int8":
         from .ops.quant import quantize_params_int8
 
         tparams = quantize_params_int8(tparams)
+    elif quant == "int4":
+        from .ops.quant import quantize_params_int4
+
+        tparams = quantize_params_int4(tparams)
     if strict:
         _strict_check(transformer, mmdit_cfg, tparams)
     cast = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32

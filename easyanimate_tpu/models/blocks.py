@@ -58,7 +58,12 @@ class PermutedDense(nn.Module):
 
     quant="int8" switches to W8A8: an int8 kernel + per-out-channel f32
     "scale" param, per-token dynamic activation quantization, int8 MXU
-    matmul (~1.5x bf16 throughput on v5e; ops/quant.py)."""
+    matmul (~1.5x bf16 throughput on v5e; ops/quant.py).
+
+    quant="int4" switches to weight-only W4A16: a nibble-packed int8
+    kernel [in//2, out] + per-(group=128, out) f32 "scale", dequantized
+    per layer into the compute dtype (memory mode: ~6 GB resident for the
+    12B; ops/quant.py int4 section)."""
 
     features: int
     perm: Any = None  # np.ndarray of output-feature indices
@@ -91,6 +96,29 @@ class PermutedDense(nn.Module):
                 scale = scale[self.perm]
                 bias = bias[self.perm]
             return int8_matmul(x, kernel, scale, bias, self.dtype)
+        if self.quant == "int4":
+            from ..ops.quant import GROUP_INT4, int4_matmul
+
+            fan_in = x.shape[-1]
+            groups = (fan_in // GROUP_INT4
+                      if fan_in % GROUP_INT4 == 0 else 1)
+
+            def kinit(key, shape, dtype=jnp.int8):
+                return jax.random.randint(key, shape, -128, 128,
+                                          jnp.int32).astype(jnp.int8)
+
+            kernel = self.param("kernel", kinit,
+                                (fan_in // 2, self.features))
+            scale = self.param(
+                "scale",
+                lambda key, shape: jnp.full(
+                    shape, (fan_in ** -0.5) / 4.0, jnp.float32),
+                (groups, self.features))
+            if self.perm is not None:
+                kernel = kernel[:, self.perm]
+                scale = scale[:, self.perm]
+                bias = bias[self.perm]
+            return int4_matmul(x, kernel, scale, bias, self.dtype)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features), jnp.float32)
         if self.perm is not None:

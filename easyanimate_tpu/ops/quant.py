@@ -45,6 +45,86 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     return out.astype(out_dtype)
 
 
+# --- int4 weight-only storage (W4A16) -------------------------------------
+#
+# Purpose: memory, not MXU throughput. Group-wise (group=128 along the
+# contraction axis) symmetric int4 weights packed two-per-byte halve the
+# resident transformer from 11.8 GB (fp8/int8) to ~6 GB, which is what lets
+# the 576x1008x49f workload fit ONE 16 GB v5e chip (the reference runs it
+# from 80 GB, README.md:143). Compute dequantizes per layer to the compute
+# dtype and rides the bf16 MXU: the transient dequantized kernel is
+# ~75 MB (3072x12288 bf16) and XLA frees it after the matmul.
+
+GROUP_INT4 = 128
+
+
+def _int4_groups(fan_in: int) -> int:
+    return fan_in // GROUP_INT4 if fan_in % GROUP_INT4 == 0 else 1
+
+
+def quantize_weight_int4(w) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., in, out] float -> (int8 packed [..., in//2, out] two nibbles
+    per byte, f32 scale [..., n_groups, out]). Symmetric per-(group, out
+    channel) absmax; rows 2k / 2k+1 are the low / high nibble of byte k."""
+    w = jnp.asarray(w, jnp.float32)
+    fan_in, out = w.shape[-2], w.shape[-1]
+    if fan_in % 2:
+        raise ValueError(f"int4 packing needs even fan_in, got {fan_in}")
+    groups = _int4_groups(fan_in)
+    lead = w.shape[:-2]
+    wg = w.reshape(*lead, groups, fan_in // groups, out)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wg / scale[..., None, :]), -8, 7)
+    q = q.reshape(*lead, fan_in // 2, 2, out).astype(jnp.int8)
+    lo, hi = q[..., 0, :], q[..., 1, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return packed, scale.astype(jnp.float32)
+
+
+def unpack_int4(packed: jnp.ndarray, fan_in: int) -> jnp.ndarray:
+    """int8 packed [..., in//2, out] -> int8 [..., in, out] in [-8, 7]."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extended
+    hi = jnp.right_shift(packed, 4)                     # arithmetic shift
+    q = jnp.stack([lo, hi], axis=-2)                    # [..., in//2, 2, out]
+    return q.reshape(*packed.shape[:-2], fan_in, packed.shape[-1])
+
+
+def int4_matmul(x: jnp.ndarray, w_packed: jnp.ndarray, w_scale: jnp.ndarray,
+                bias: Optional[jnp.ndarray] = None,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """x [..., in]; w_packed int8 [in//2, out]; w_scale f32 [groups, out]."""
+    fan_in = x.shape[-1]
+    out = w_packed.shape[-1]
+    groups = w_scale.shape[-2]
+    q = unpack_int4(w_packed, fan_in).reshape(groups, fan_in // groups, out)
+    w = (q * w_scale[:, None, :]).astype(out_dtype).reshape(fan_in, out)
+    y = x.astype(out_dtype) @ w
+    if bias is not None:
+        y = y + bias.astype(out_dtype)
+    return y
+
+
+def quantize_params_int4(params):
+    """Float params tree (linear_quant=None model) -> tree for the SAME
+    config with linear_quant="int4": block-linear kernels become packed
+    int4 (two per int8 byte) with a per-(group=128, out-channel) f32
+    "scale" sibling. Handles nn.scan-stacked kernels [L, in, out]."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        if _is_block_linear(path) and jnp.issubdtype(
+                jnp.asarray(leaf).dtype, jnp.floating):
+            packed, scale = quantize_weight_int4(jnp.asarray(leaf))
+            out[path] = packed
+            out[path[:-1] + ("scale",)] = scale
+        else:
+            out[path] = leaf
+    return traverse_util.unflatten_dict(out)
+
+
 # Block linears that MMDiTBlock routes through the int8 path when
 # MMDiTConfig.linear_quant == "int8" (models/blocks.py). Matched by the
 # (parent-module, leaf) of the param path, restricted to block subtrees.

@@ -61,16 +61,31 @@ def merge_lora(params: Any, lora: Any, cfg: LoRAConfig,
                scale: float = 1.0) -> Any:
     """kernel' = kernel + scale * (alpha/rank) * down @ up.
 
-    W8A8-quantized kernels (ops/quant.py: int8 kernel + f32 "scale"
-    sibling) merge in dequantized space and requantize, refreshing the
-    per-out-channel scale — merge/unmerge round-trips then carry only
-    quantization error, not raw-int corruption."""
+    Quantized kernels (ops/quant.py) merge in dequantized space and
+    requantize, refreshing the quant scales — merge/unmerge round-trips
+    then carry only quantization error, not raw-int corruption. Both W8A8
+    int8 kernels ([in, out] + per-out "scale") and packed-int4 kernels
+    ([in//2, out] + per-group "scale") are handled; they are told apart by
+    the packed kernel having half the contraction rows of the delta."""
     flat = dict(_flat(params))
     coef = scale * cfg.alpha / cfg.rank
     for path, fac in lora.items():
         delta = jnp.matmul(fac["down"], fac["up"]) * coef
         kern = flat[path]
-        if kern.dtype == jnp.int8:
+        if kern.dtype == jnp.int8 and kern.shape[-2] * 2 == delta.shape[-2]:
+            from ..ops.quant import quantize_weight_int4, unpack_int4
+
+            assert path.endswith("kernel"), path
+            spath = path[:-len("kernel")] + "scale"
+            wscale = flat[spath]
+            fan_in = delta.shape[-2]
+            groups = wscale.shape[-2]
+            q = unpack_int4(kern, fan_in).astype(jnp.float32)
+            qg = q.reshape(*q.shape[:-2], groups, fan_in // groups,
+                           q.shape[-1])
+            w = (qg * wscale[..., None, :]).reshape(q.shape) + delta
+            flat[path], flat[spath] = quantize_weight_int4(w)
+        elif kern.dtype == jnp.int8:
             assert path.endswith("kernel"), path
             spath = path[:-len("kernel")] + "scale"
             wscale = flat[spath]

@@ -48,7 +48,8 @@ class EasyAnimateController:
             pipeline_type="inpaint"
             if isinstance(self.pipeline, EasyAnimateInpaintPipeline)
             else "t2v",
-            int8_linears=getattr(tcfg, "linear_quant", None) == "int8")
+            int8_linears=getattr(tcfg, "linear_quant", None) == "int8",
+            int4_weights=getattr(tcfg, "linear_quant", None) == "int4")
         self.pipeline = new
 
     #: edition name -> config yaml (reference ui.py update_edition table)

@@ -33,6 +33,8 @@ def main():
                     help="store transformer weights as fp8-e4m3")
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 int8 block linears (1.5x MXU; ops/quant.py)")
+    ap.add_argument("--int4", action="store_true",
+                    help="packed int4 block linears (W4A16 memory mode)")
     ap.add_argument("--teacache", type=float, default=None,
                     help="TeaCache rel-L1 threshold (e.g. 0.1)")
     ap.add_argument("--sampler", default=None,
@@ -51,7 +53,8 @@ def main():
         from easyanimate_tpu.loader import load_pipeline
 
         pipe = load_pipeline(args.model_path, "t2v", fp8_weights=args.fp8,
-                             int8_linears=args.int8)
+                             int8_linears=args.int8,
+                             int4_weights=args.int4)
         if args.lora:
             from easyanimate_tpu.training.lora import load_lora, merge_lora
 

@@ -536,3 +536,84 @@ def test_lora_convert_skips_text_encoder_and_rejects_unknown(rng):
         np.zeros((4, 8), np.float32)
     with pytest.raises(ValueError, match="no kernel"):
         convert_lora_state_dict(ksd, cfg)
+
+
+def test_load_pipeline_quant_modes(rng, tmp_path):
+    """End-to-end loader path over a full reference-format model directory
+    (transformer + vae + scheduler): float / int8_linears / int4_weights
+    all load strict, int4 halves the stored block-kernel bytes, and every
+    mode denoises to finite latents close in direction to float."""
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    from easyanimate_tpu.loader import load_pipeline
+    from easyanimate_tpu.models.convert import (
+        _mmdit_config_json,
+        save_reference_checkpoint,
+    )
+
+    cfg = dataclasses.replace(PRESETS["tiny"], text_embed_dim_t5=None)
+    sd = {k: 0.05 * v for k, v in _synth_mmdit_sd(cfg, rng).items()}
+    root = tmp_path / "model"
+    save_reference_checkpoint(str(root / "transformer"), sd,
+                              _mmdit_config_json(cfg))
+    vsd = _synth_vae_sd(TINY_VAE, rng)
+    os.makedirs(root / "vae")
+    save_file(vsd, str(root / "vae" / "diffusion_pytorch_model.safetensors"))
+    json.dump({
+        "latent_channels": TINY_VAE.latent_channels,
+        "block_out_channels": list(TINY_VAE.block_out_channels),
+        "down_block_types": list(TINY_VAE.down_block_types),
+        "up_block_types": list(TINY_VAE.up_block_types),
+        "layers_per_block": TINY_VAE.layers_per_block,
+        "norm_num_groups": TINY_VAE.norm_num_groups,
+        "mini_batch_encoder": TINY_VAE.mini_batch_encoder,
+        "cache_mag_vae": True,
+    }, open(root / "vae" / "config.json", "w"))
+    os.makedirs(root / "scheduler")
+    json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+               "num_train_timesteps": 1000, "shift": 3.0,
+               "use_dynamic_shifting": True},
+              open(root / "scheduler" / "scheduler_config.json", "w"))
+
+    import jax
+
+    def run(pipe):
+        pos = 0.1 * jnp.ones((1, 5, cfg.text_embed_dim), jnp.float32)
+        out = pipe(pos, jnp.zeros_like(pos), height=32, width=32,
+                   video_length=5, num_inference_steps=2, guidance_scale=3.0,
+                   rng=jax.random.PRNGKey(0), decode=False,
+                   output_type="latent")
+        return np.asarray(out, np.float32)
+
+    pipe_f = load_pipeline(str(root), "t2v", dtype="float32")
+    out_f = run(pipe_f)
+    assert np.isfinite(out_f).all()
+
+    pipe_8 = load_pipeline(str(root), "t2v", dtype="float32",
+                           int8_linears=True)
+    pipe_4 = load_pipeline(str(root), "t2v", dtype="float32",
+                           int4_weights=True)
+    flat8 = flax.traverse_util.flatten_dict(pipe_8.transformer_params,
+                                            sep="/")
+    flat4 = flax.traverse_util.flatten_dict(pipe_4.transformer_params,
+                                            sep="/")
+    k8 = {k: v for k, v in flat8.items() if v.dtype == jnp.int8}
+    k4 = {k: v for k, v in flat4.items() if v.dtype == jnp.int8}
+    assert set(k8) == set(k4) and k8
+    for k in k8:
+        assert k4[k].shape[-2] * 2 == k8[k].shape[-2], k
+        assert k4[k].shape[-1] == k8[k].shape[-1], k
+
+    for pipe, tol in ((pipe_8, 0.05), (pipe_4, 0.2)):
+        out_q = run(pipe)
+        assert np.isfinite(out_q).all()
+        a, b = out_f.ravel(), out_q.ravel()
+        cos = float(np.dot(a, b)
+                    / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 1 - tol, (tol, cos)
+
+    with pytest.raises(ValueError):
+        load_pipeline(str(root), "t2v", int8_linears=True, int4_weights=True)

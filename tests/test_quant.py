@@ -224,3 +224,209 @@ def test_int8_cosine_guard_at_12b_layer_shapes(fan_in, fan_out):
     tok_cos = (g * t).sum(-1) / np.maximum(
         np.linalg.norm(g, axis=-1) * np.linalg.norm(t, axis=-1), 1e-9)
     assert tok_cos.min() > 0.995, (fan_in, fan_out, tok_cos.min())
+
+
+# --- int4 weight-only (W4A16 memory mode; ops/quant.py int4 section) -------
+
+from easyanimate_tpu.ops.quant import (  # noqa: E402
+    int4_matmul,
+    quantize_params_int4,
+    quantize_weight_int4,
+    unpack_int4,
+)
+
+
+def test_int4_pack_unpack_roundtrip_exact():
+    """Grid weights (already int4-representable per group) survive
+    quantize -> pack -> unpack -> dequantize bit-exactly."""
+    rng = np.random.default_rng(0)
+    ints = rng.integers(-7, 8, size=(256, 8)).astype(np.float32)
+    ints[0, :] = 7
+    ints[128, :] = -7  # pin both groups' absmax
+    gscale = rng.uniform(0.01, 2.0, size=(2, 8)).astype(np.float32)
+    w = ints.reshape(2, 128, 8) * gscale[:, None, :]
+    w = w.reshape(256, 8)
+    packed, scale = quantize_weight_int4(jnp.asarray(w))
+    assert packed.shape == (128, 8) and packed.dtype == jnp.int8
+    assert scale.shape == (2, 8)
+    q = np.asarray(unpack_int4(packed, 256), np.float32)
+    recon = (q.reshape(2, 128, 8) * np.asarray(scale)[:, None, :]).reshape(256, 8)
+    np.testing.assert_allclose(recon, w, rtol=1e-5)
+
+
+def test_int4_matmul_close_to_float():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 37, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 64), jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(2), (64,), jnp.float32) * 0.1
+    packed, scale = quantize_weight_int4(w)
+    got = np.asarray(int4_matmul(x, packed, scale, b, out_dtype=jnp.float32))
+    want = np.asarray(x @ w + b)
+    cos = float((got * want).sum()
+                / (np.linalg.norm(got) * np.linalg.norm(want)))
+    assert cos > 0.99, cos
+
+
+def test_mmdit_int4_structure_and_cosine():
+    """quantize_params_int4(float params) drives the linear_quant="int4"
+    model: identical tree/dtype structure vs init, cosine > 0.99 vs the
+    float model (int4 is the documented-quality memory mode)."""
+    from easyanimate_tpu.models.mmdit import EasyAnimateTransformer3D
+
+    model, _, cfg = _tiny_pair()
+    cfg4 = dataclasses.replace(cfg, linear_quant="int4")
+    model_q = EasyAnimateTransformer3D(cfg4)
+    inputs = _tiny_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), *inputs)["params"]
+    params_q = quantize_params_int4(params)
+
+    shapes = jax.eval_shape(
+        lambda: model_q.init(jax.random.PRNGKey(0), *inputs))["params"]
+    flat_want = jax.tree.leaves_with_path(shapes)
+    flat_got = jax.tree.leaves_with_path(params_q)
+    assert [p for p, _ in flat_want] == [p for p, _ in flat_got]
+    for (p, want), (_, got) in zip(flat_want, flat_got):
+        assert want.shape == got.shape, (p, want.shape, got.shape)
+        assert want.dtype == got.dtype, p
+
+    out_f = np.asarray(model.apply({"params": params}, *inputs), np.float32)
+    out_q = np.asarray(model_q.apply({"params": params_q}, *inputs), np.float32)
+    a, b = out_f.ravel(), out_q.ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.99, cos
+
+
+@pytest.mark.parametrize("fan_in,fan_out", [
+    (3072, 3072),
+    (3072, 12288),
+    (12288, 3072),
+])
+def test_int4_cosine_guard_at_12b_layer_shapes(fan_in, fan_out):
+    """Quality guard at the flagship's actual linear shapes. Group-128 RTN
+    int4 on gaussian weights carries ~11% per-weight rms error -> layer
+    cosine ~0.993; the guard pins it above 0.99 so regressions (wrong
+    packing order, scale axis, sign extension) fail loudly."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (1, 128, fan_in), jnp.float32)
+    w = jax.random.normal(k2, (fan_in, fan_out), jnp.float32) * fan_in ** -0.5
+    b = jax.random.normal(k3, (fan_out,), jnp.float32) * 0.02
+    packed, scale = quantize_weight_int4(w)
+    # memory accounting: packed bytes are half the int8 kernel's
+    assert packed.size == fan_in * fan_out // 2
+    assert scale.size == (fan_in // 128) * fan_out
+    got = np.asarray(int4_matmul(x, packed, scale, b, out_dtype=jnp.float32))
+    want = np.asarray(x @ w + b)
+    cos = float((got * want).sum()
+                / (np.linalg.norm(got) * np.linalg.norm(want)))
+    assert cos > 0.99, (fan_in, fan_out, cos)
+
+
+def test_lora_merge_on_int4_params_dequantizes():
+    """merge_lora on packed-int4 kernels merges in dequantized space and
+    requantizes; unmerge round-trips within quantization error."""
+    from easyanimate_tpu.models.mmdit import EasyAnimateTransformer3D
+    from easyanimate_tpu.training.lora import (
+        LoRAConfig,
+        lora_init,
+        merge_lora,
+        unmerge_lora,
+    )
+
+    model, _, cfg = _tiny_pair()
+    cfg4 = dataclasses.replace(cfg, linear_quant="int4")
+    model_q = EasyAnimateTransformer3D(cfg4)
+    inputs = _tiny_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), *inputs)["params"]
+    params_q = quantize_params_int4(params)
+
+    lcfg = LoRAConfig(rank=2, alpha=2.0)
+    lora = lora_init(params, lcfg, jax.random.PRNGKey(7))
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+
+    merged_q = merge_lora(params_q, lora, lcfg)
+    from flax import traverse_util
+
+    flat_q = traverse_util.flatten_dict(params_q, sep="/")
+    flat_m = traverse_util.flatten_dict(merged_q, sep="/")
+    assert all(flat_m[k].dtype == v.dtype and flat_m[k].shape == v.shape
+               for k, v in flat_q.items())
+
+    # weight-space contract: dequant(merged) == dequant(base) + delta
+    # within one RTN grid step of the refreshed scale, per element
+    def dq(flat, k):
+        kern, sc = flat[k], flat[k[: -len("kernel")] + "scale"]
+        fan_in = kern.shape[-2] * 2
+        groups = sc.shape[-2]
+        q = np.asarray(unpack_int4(kern, fan_in), np.float32)
+        qg = q.reshape(*q.shape[:-2], groups, fan_in // groups, q.shape[-1])
+        return (qg * np.asarray(sc)[..., None, :]).reshape(q.shape), np.asarray(sc)
+
+    coef = lcfg.alpha / lcfg.rank
+    checked = 0
+    for k, fac in lora.items():
+        if flat_q[k].dtype != jnp.int8:
+            continue
+        delta = np.asarray(
+            jnp.matmul(fac["down"], fac["up"]) * coef, np.float32)
+        w_base, _ = dq(flat_q, k)
+        w_merged, sc_m = dq(flat_m, k)
+        groups = sc_m.shape[-2]
+        step = np.repeat(sc_m, w_base.shape[-2] // groups, axis=-2)
+        err = np.abs(w_merged - (w_base + delta))
+        assert (err <= step / 2 + 1e-6).all(), k
+        checked += 1
+    assert checked > 0
+
+    base = np.asarray(model_q.apply({"params": params_q}, *inputs), np.float32)
+    out_q = np.asarray(model_q.apply({"params": merged_q}, *inputs), np.float32)
+    assert np.linalg.norm(out_q - base) / (np.linalg.norm(base) + 1e-9) > 1e-3
+
+    # unmerge round-trip: within one grid step of each quantization pass
+    back = unmerge_lora(merged_q, lora, lcfg)
+    flat_b = traverse_util.flatten_dict(back, sep="/")
+    for k in flat_q:
+        if not (k.endswith("kernel") and flat_q[k].dtype == jnp.int8):
+            continue
+        w_base, sc_b = dq(flat_q, k)
+        w_back, sc_k = dq(flat_b, k)
+        groups = sc_b.shape[-2]
+        rep = w_base.shape[-2] // groups
+        bound = (np.repeat(sc_b, rep, axis=-2)
+                 + np.repeat(sc_k, rep, axis=-2)) / 2 + 1e-6
+        # +1 merged-scale step of slack for the intermediate quantization
+        w_m, sc_m = dq(flat_m, k)
+        bound = bound + np.repeat(sc_m, rep, axis=-2) / 2
+        assert (np.abs(w_back - w_base) <= bound).all(), k
+
+
+def test_int4_forward_on_tp_mesh_matches_single_device():
+    """int4 packed params shard onto a dp/tp mesh (packed kernel rows are
+    half the contraction dim; wi group scales follow the tp output axis)
+    and the sharded forward matches single-device output."""
+    from easyanimate_tpu.models.mmdit import EasyAnimateTransformer3D
+    from easyanimate_tpu.parallel.mesh import MeshConfig, create_mesh
+    from easyanimate_tpu.parallel.sharding import (
+        mmdit_param_specs,
+        shard_params,
+    )
+
+    model, _, cfg = _tiny_pair()
+    cfg4 = dataclasses.replace(cfg, linear_quant="int4")
+    model_q = EasyAnimateTransformer3D(cfg4)
+    inputs = _tiny_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), *inputs)["params"]
+    params_q = quantize_params_int4(params)
+
+    specs = mmdit_param_specs(params_q)
+    from flax import traverse_util
+
+    flat_specs = traverse_util.flatten_dict(specs, sep="/")
+    qs = [v for k, v in flat_specs.items() if k.endswith("to_q/scale")]
+    assert qs and all("tp" in str(s) for s in qs), qs
+
+    want = np.asarray(model_q.apply({"params": params_q}, *inputs))
+    mesh = create_mesh(MeshConfig(dp=2, sp=1, tp=2))
+    with mesh:
+        sharded, _ = shard_params(params_q, mesh)
+        fwd = jax.jit(lambda p, *a: model_q.apply({"params": p}, *a))
+        got = np.asarray(fwd(sharded, *inputs))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
