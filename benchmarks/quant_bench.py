@@ -28,7 +28,12 @@ def timed(fn, *args, iters=10, warm=10):
 
 
 def main():
-    from easyanimate_tpu.ops.quant import int8_matmul
+    from easyanimate_tpu.ops.quant import (
+        int4_matmul,
+        int4_matmul_a8,
+        int8_matmul,
+        quantize_weight_int4,
+    )
 
     shapes = [
         ("qkv   (3072->3072)", 26368, 3072, 3072),
@@ -53,6 +58,14 @@ def main():
         print(f"{name} pure int8:    {t*1e3:7.2f} ms = {flops/t/1e12:5.0f} TOPS")
         t = timed(jax.jit(lambda a, b, s: int8_matmul(a, b, s)), x, wq, ws)
         print(f"{name} dynamic W8A8: {t*1e3:7.2f} ms = {flops/t/1e12:5.0f} TOPS",
+              flush=True)
+        packed, gs = quantize_weight_int4(
+            jax.random.normal(jax.random.PRNGKey(1), (k, n)) * k ** -0.5)
+        t = timed(jax.jit(lambda a, b, s: int4_matmul(a, b, s)), x, packed, gs)
+        print(f"{name} W4A16:        {t*1e3:7.2f} ms = {flops/t/1e12:5.0f} TF/s")
+        t = timed(jax.jit(lambda a, b, s: int4_matmul_a8(a, b, s)),
+                  x, packed, gs)
+        print(f"{name} W4A8:         {t*1e3:7.2f} ms = {flops/t/1e12:5.0f} TOPS",
               flush=True)
 
 

@@ -216,6 +216,7 @@ def load_pipeline(
     fp8_weights: bool = False,
     int8_linears: bool = False,
     int4_weights: bool = False,
+    int4_compute: str = "int8",
     scheduler: Optional[str] = None,
     strict: bool = True,
 ):
@@ -227,11 +228,16 @@ def load_pipeline(
     (ops/quant.py; ~1.5x MXU throughput on v5e) -- composes with
     fp8_weights for the non-block remainder.
     int4_weights=True stores the block linears as group-128 packed int4
-    (W4A16 memory mode, ~6 GB resident for the 12B: fits 576x1008x49f on
-    one 16 GB chip) -- mutually exclusive with int8_linears."""
+    (~6 GB resident for the 12B: fits 576x1008x49f on one 16 GB chip) --
+    mutually exclusive with int8_linears. int4_compute picks the matmul
+    path: "int8" (default, W4A8 -- int4 memory at int8-MXU throughput,
+    ops/quant.py::int4_matmul_a8) or "bf16" (W4A16 dequant matmul)."""
     if int8_linears and int4_weights:
         raise ValueError("int8_linears and int4_weights are exclusive")
-    quant = "int8" if int8_linears else ("int4" if int4_weights else None)
+    if int4_compute not in ("int8", "bf16"):
+        raise ValueError(f"int4_compute must be int8|bf16, got {int4_compute}")
+    int4_mode = "w4a8" if int4_compute == "int8" else "int4"
+    quant = "int8" if int8_linears else (int4_mode if int4_weights else None)
     tcfg_json = _read_json(os.path.join(model_path, "transformer", "config.json"))
     vcfg_json = _read_json(os.path.join(model_path, "vae", "config.json"))
     mmdit_cfg = mmdit_config_from_json(tcfg_json, dtype)
@@ -252,7 +258,7 @@ def load_pipeline(
         from .ops.quant import quantize_params_int8
 
         tparams = quantize_params_int8(tparams)
-    elif quant == "int4":
+    elif quant in ("int4", "w4a8"):
         from .ops.quant import quantize_params_int4
 
         tparams = quantize_params_int4(tparams)

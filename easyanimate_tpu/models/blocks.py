@@ -63,7 +63,9 @@ class PermutedDense(nn.Module):
     quant="int4" switches to weight-only W4A16: a nibble-packed int8
     kernel [in//2, out] + per-(group=128, out) f32 "scale", dequantized
     per layer into the compute dtype (memory mode: ~6 GB resident for the
-    12B; ops/quant.py int4 section)."""
+    12B; ops/quant.py int4 section). quant="w4a8" keeps the same packed
+    params but computes on the int8 MXU (ops/quant.py::int4_matmul_a8):
+    int4 memory at ~int8 throughput."""
 
     features: int
     perm: Any = None  # np.ndarray of output-feature indices
@@ -96,8 +98,9 @@ class PermutedDense(nn.Module):
                 scale = scale[self.perm]
                 bias = bias[self.perm]
             return int8_matmul(x, kernel, scale, bias, self.dtype)
-        if self.quant == "int4":
-            from ..ops.quant import GROUP_INT4, int4_matmul
+        if self.quant in ("int4", "w4a8"):
+            from ..ops.quant import GROUP_INT4, int4_matmul, int4_matmul_a8
+            matmul = int4_matmul_a8 if self.quant == "w4a8" else int4_matmul
 
             fan_in = x.shape[-1]
             groups = (fan_in // GROUP_INT4
@@ -118,7 +121,7 @@ class PermutedDense(nn.Module):
                 kernel = kernel[:, self.perm]
                 scale = scale[:, self.perm]
                 bias = bias[self.perm]
-            return int4_matmul(x, kernel, scale, bias, self.dtype)
+            return matmul(x, kernel, scale, bias, self.dtype)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features), jnp.float32)
         if self.perm is not None:

@@ -105,6 +105,27 @@ def int4_matmul(x: jnp.ndarray, w_packed: jnp.ndarray, w_scale: jnp.ndarray,
     return y
 
 
+def int4_matmul_a8(x: jnp.ndarray, w_packed: jnp.ndarray,
+                   w_scale: jnp.ndarray,
+                   bias: Optional[jnp.ndarray] = None,
+                   out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """W4A8: int4-packed storage, int8-MXU compute (same params as
+    int4_matmul). The per-group int4 values are re-scaled onto a single
+    per-out-channel int8 grid — the 16x-finer int8 grid absorbs the group
+    scales (q8 = round(q4 * s_g / s8), s8 = 8 * max_g s_g / 127, so
+    |q8| <= 127) — and the product runs through the W8A8 dynamic-quant
+    matmul. Memory stays at int4 (the transient int8 kernel is half the
+    W4A16 path's bf16 transient); throughput rides the ~1.5x int8 MXU."""
+    fan_in = x.shape[-1]
+    out = w_packed.shape[-1]
+    groups = w_scale.shape[-2]
+    q4 = unpack_int4(w_packed, fan_in).reshape(groups, fan_in // groups, out)
+    s8 = jnp.maximum(jnp.max(w_scale, axis=-2), 1e-12) * (8.0 / 127.0)
+    q8 = jnp.round(q4 * (w_scale[:, None, :] / s8[None, None, :]))
+    q8 = q8.astype(jnp.int8).reshape(fan_in, out)
+    return int8_matmul(x, q8, s8, bias, out_dtype)
+
+
 def quantize_params_int4(params):
     """Float params tree (linear_quant=None model) -> tree for the SAME
     config with linear_quant="int4": block-linear kernels become packed

@@ -49,7 +49,7 @@ class EasyAnimateController:
             if isinstance(self.pipeline, EasyAnimateInpaintPipeline)
             else "t2v",
             int8_linears=getattr(tcfg, "linear_quant", None) == "int8",
-            int4_weights=getattr(tcfg, "linear_quant", None) == "int4")
+            int4_weights=getattr(tcfg, "linear_quant", None) in ("int4", "w4a8"))
         self.pipeline = new
 
     #: edition name -> config yaml (reference ui.py update_edition table)

@@ -398,6 +398,70 @@ def test_lora_merge_on_int4_params_dequantizes():
         assert (np.abs(w_back - w_base) <= bound).all(), k
 
 
+# --- W4A8: int4 storage, int8-MXU compute (ops/quant.py::int4_matmul_a8) ---
+
+from easyanimate_tpu.ops.quant import int4_matmul_a8  # noqa: E402
+
+
+@pytest.mark.parametrize("fan_in,fan_out", [
+    (256, 64),
+    (3072, 12288),   # 12B ff.wi
+    (12288, 3072),   # 12B ff.wo
+])
+def test_int4_a8_matmul_tracks_w4a16(fan_in, fan_out):
+    """The int8-compute path adds only per-channel-int8 regrid + dynamic
+    activation error on top of the shared int4 weight error: it must stay
+    very close to the W4A16 dequant matmul (>0.999) and inside the int4
+    quality envelope vs float (>0.99)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (1, 64, fan_in), jnp.float32)
+    w = jax.random.normal(k2, (fan_in, fan_out), jnp.float32) * fan_in ** -0.5
+    b = jax.random.normal(k3, (fan_out,), jnp.float32) * 0.02
+    packed, scale = quantize_weight_int4(w)
+    got8 = np.asarray(int4_matmul_a8(x, packed, scale, b,
+                                     out_dtype=jnp.float32))
+    got16 = np.asarray(int4_matmul(x, packed, scale, b,
+                                   out_dtype=jnp.float32))
+    want = np.asarray(x @ w + b)
+
+    def cos(a, c):
+        return float((a * c).sum()
+                     / (np.linalg.norm(a) * np.linalg.norm(c) + 1e-9))
+
+    assert cos(got8, got16) > 0.999, (fan_in, fan_out, cos(got8, got16))
+    assert cos(got8, want) > 0.99, (fan_in, fan_out, cos(got8, want))
+
+
+def test_mmdit_w4a8_same_params_as_int4_and_close_to_float():
+    """linear_quant="w4a8" consumes the SAME quantize_params_int4 tree
+    (loader switches compute mode without re-quantizing) and stays in the
+    int4 quality envelope vs the float model."""
+    from easyanimate_tpu.models.mmdit import EasyAnimateTransformer3D
+
+    model, _, cfg = _tiny_pair()
+    cfg8 = dataclasses.replace(cfg, linear_quant="w4a8")
+    model_q = EasyAnimateTransformer3D(cfg8)
+    inputs = _tiny_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), *inputs)["params"]
+    params_q = quantize_params_int4(params)
+
+    shapes = jax.eval_shape(
+        lambda: model_q.init(jax.random.PRNGKey(0), *inputs))["params"]
+    flat_want = jax.tree.leaves_with_path(shapes)
+    flat_got = jax.tree.leaves_with_path(params_q)
+    assert [p for p, _ in flat_want] == [p for p, _ in flat_got]
+    for (p, want), (_, got) in zip(flat_want, flat_got):
+        assert want.shape == got.shape, (p, want.shape, got.shape)
+        assert want.dtype == got.dtype, p
+
+    out_f = np.asarray(model.apply({"params": params}, *inputs), np.float32)
+    out_q = np.asarray(model_q.apply({"params": params_q}, *inputs),
+                       np.float32)
+    a, b = out_f.ravel(), out_q.ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.99, cos
+
+
 def test_int4_forward_on_tp_mesh_matches_single_device():
     """int4 packed params shard onto a dp/tp mesh (packed kernel rows are
     half the contraction dim; wi group scales follow the tp output axis)
