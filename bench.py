@@ -98,9 +98,11 @@ def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
         # V5.1 SWA variant: dense attention on layer 0, windowed elsewhere
         cfg = dataclasses.replace(cfg, swa_layers=tuple(range(1, 48)))
     if int4:
-        # W4A16 packed block linears (ops/quant.py): ~6 GB resident — the
-        # memory mode that fits 576x1008x49f on one 16 GB chip
-        cfg = dataclasses.replace(cfg, linear_quant="int4")
+        # packed int4 block linears (ops/quant.py): ~6 GB resident — the
+        # memory mode that fits 576x1008x49f on one 16 GB chip. Compute is
+        # W4A8 (int8 MXU) by default; --int4_compute bf16 for W4A16
+        quant = "w4a8" if args.int4_compute == "int8" else "int4"
+        cfg = dataclasses.replace(cfg, linear_quant=quant)
     elif int8:
         cfg = dataclasses.replace(cfg, linear_quant="int8")
     model = EasyAnimateTransformer3D(cfg)
@@ -186,8 +188,12 @@ def main():
                     help="W8A8 int8 block linears (ops/quant.py; default on)")
     ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--int4", action="store_true",
-                    help="packed int4 block linears (W4A16 memory mode, "
-                         "~6 GB resident; overrides --int8)")
+                    help="packed int4 block linears (~6 GB resident; "
+                         "overrides --int8)")
+    ap.add_argument("--int4_compute", default="int8",
+                    choices=["int8", "bf16"],
+                    help="matmul path for --int4: int8 = W4A8 (int4 memory "
+                         "at int8-MXU throughput, default), bf16 = W4A16")
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--scan_chunk", type=int, default=8,
                     help="bounded-runtime denoise segments (CLAUDE.md)")
@@ -254,7 +260,9 @@ def main():
         label += "+int8"
     if args.cfg_split:
         label += "+cfg_split"
-    weights = ("int4 W4A16 linears, fp8 rest" if args.int4 else
+    int4_kind = ("int4 W4A8 linears" if args.int4_compute == "int8"
+                 else "int4 W4A16 linears")
+    weights = (f"{int4_kind}, fp8 rest" if args.int4 else
                "int8 W8A8 linears, fp8 rest" if args.int8 else "fp8 weights")
     print(json.dumps({
         "metric": (f"12B MMDiT denoise s/step, T2V {height}x{width}x"
