@@ -462,10 +462,13 @@ def test_mmdit_w4a8_same_params_as_int4_and_close_to_float():
     assert cos > 0.99, cos
 
 
-def test_int4_forward_on_tp_mesh_matches_single_device():
-    """int4 packed params shard onto a dp/tp mesh (packed kernel rows are
-    half the contraction dim; wi group scales follow the tp output axis)
-    and the sharded forward matches single-device output."""
+@pytest.mark.parametrize("quant", ["int4", "w4a8"])
+def test_int4_forward_on_tp_mesh_matches_single_device(quant):
+    """int4/w4a8 packed params shard onto a dp/tp mesh (packed kernel rows
+    are half the contraction dim; wi group scales follow the tp output
+    axis) and the sharded forward matches single-device output. Both
+    compute modes consume the same packed tree, so the same specs must
+    hold for the W4A8 (int8-MXU) matmul path."""
     from easyanimate_tpu.models.mmdit import EasyAnimateTransformer3D
     from easyanimate_tpu.parallel.mesh import MeshConfig, create_mesh
     from easyanimate_tpu.parallel.sharding import (
@@ -474,7 +477,7 @@ def test_int4_forward_on_tp_mesh_matches_single_device():
     )
 
     model, _, cfg = _tiny_pair()
-    cfg4 = dataclasses.replace(cfg, linear_quant="int4")
+    cfg4 = dataclasses.replace(cfg, linear_quant=quant)
     model_q = EasyAnimateTransformer3D(cfg4)
     inputs = _tiny_inputs(cfg)
     params = model.init(jax.random.PRNGKey(0), *inputs)["params"]
@@ -493,4 +496,8 @@ def test_int4_forward_on_tp_mesh_matches_single_device():
         sharded, _ = shard_params(params_q, mesh)
         fwd = jax.jit(lambda p, *a: model_q.apply({"params": p}, *a))
         got = np.asarray(fwd(sharded, *inputs))
-    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+    # w4a8 re-quantizes activations per contraction shard (each tp slice
+    # picks its own dynamic int8 scale), so sharded vs single-device is
+    # close-not-exact; W4A16 dequantizes to bf16 and reassociates only.
+    atol, rtol = (4e-3, 6e-3) if quant == "w4a8" else (2e-4, 2e-3)
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
