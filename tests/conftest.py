@@ -29,3 +29,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    Full-suite runs intermittently segfault inside XLA:CPU's
+    backend_compile (observed at tests/test_vae_training.py after ~160
+    prior compilations; the same test passes in isolation). Host RAM is
+    not the limit — the crash is in compiler state that accumulates
+    across hundreds of jit compilations in one process. Clearing the
+    executable/tracing caches per module keeps that state bounded.
+    """
+    yield
+    jax.clear_caches()
