@@ -139,7 +139,8 @@ def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
                    num_inference_steps=args.steps, guidance_scale=6.0,
                    rng=jax.random.PRNGKey(seed), decode=False,
                    output_type="latent", teacache_threshold=teacache,
-                   scan_chunk=scan_chunk, cfg_split=args.cfg_split)
+                   scan_chunk=scan_chunk, cfg_split=args.cfg_split,
+                   cfg_skip_ratio=args.cfg_skip or None)
         float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
         return out
 
@@ -201,6 +202,10 @@ def main():
     ap.add_argument("--width", type=int, default=672)
     ap.add_argument("--frames", type=int, default=49,
                     help="other reference workloads: 25 (A100 1.75 s/it)")
+    ap.add_argument("--cfg_skip", type=float, default=0.0,
+                    help="cfg_skip_ratio: run the last RATIO of the steps "
+                         "cond-only (deterministic ~RATIO/2 denoise saving; "
+                         "VideoX-Fun's knob). 0 disables.")
     ap.add_argument("--cfg_split", action="store_true",
                     help="sequential CFG (memory mode; fits 576x1008x49f)")
     ap.add_argument("--secondary", action="store_true", default=True,
@@ -272,6 +277,8 @@ def main():
         label += "+int8"
     if args.cfg_split:
         label += "+cfg_split"
+    if args.cfg_skip:
+        label += f"+cfg_skip{args.cfg_skip:g}"
     int4_kind = ("int4 W4A8 linears" if args.int4_compute == "int8"
                  else "int4 W4A16 linears")
     weights = (f"{int4_kind}, fp8 rest" if args.int4 else

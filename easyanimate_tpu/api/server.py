@@ -60,6 +60,9 @@ def infer_forward(controller, payload: dict) -> dict:
     if payload.get("enable_teacache"):
         thr = payload.get("teacache_threshold")
         kwargs["teacache_threshold"] = float(thr) if thr is not None else 0.1
+    if payload.get("cfg_skip_ratio"):
+        # run the last ratio of the steps cond-only (VideoX-Fun's knob)
+        kwargs["cfg_skip_ratio"] = float(payload["cfg_skip_ratio"])
     if payload.get("start_image"):
         kwargs["start_image"] = decode_image_b64(payload["start_image"])
     if payload.get("end_image"):

@@ -44,6 +44,7 @@ class EasyAnimateControlPipeline(EasyAnimatePipeline):
         teacache_threshold: Optional[float] = None,
         scan_chunk: Optional[int] = None,
         cfg_split: bool = False,
+        cfg_skip_ratio: Optional[float] = None,
         **kw,
     ):
         cfg = self.mmdit_cfg
@@ -98,7 +99,8 @@ class EasyAnimateControlPipeline(EasyAnimatePipeline):
                                    float(guidance_rescale), False, 0,
                                    teacache_threshold,
                                    scan_chunk=scan_chunk,
-                                   cfg_split=cfg_split)
+                                   cfg_split=cfg_split,
+                                   cfg_skip_ratio=cfg_skip_ratio)
         latents = denoise(self.transformer_params, latents, txt, None, rope,
                           cond, rng=jax.random.fold_in(rng, 0x5A))
         if output_type == "latent":

@@ -89,6 +89,7 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
         teacache_threshold: Optional[float] = None,
         scan_chunk: Optional[int] = None,
         cfg_split: bool = False,
+        cfg_skip_ratio: Optional[float] = None,
         **kw,
     ):
         cfg = self.mmdit_cfg
@@ -208,7 +209,8 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
             clip_apply_ratio=(float(clip_apply_ratio)
                               if clip_encoder_hidden_states is not None
                               else None),
-            scan_chunk=scan_chunk, cfg_split=cfg_split)
+            scan_chunk=scan_chunk, cfg_split=cfg_split,
+            cfg_skip_ratio=cfg_skip_ratio)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           cond, rng=jax.random.fold_in(rng, 0x5A))
         if output_type == "latent":

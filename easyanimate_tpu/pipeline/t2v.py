@@ -143,6 +143,7 @@ class EasyAnimatePipeline:
         teacache_threshold: Optional[float] = None,
         scan_chunk: Optional[int] = None,
         cfg_split: bool = False,
+        cfg_skip_ratio: Optional[float] = None,
     ):
         b = prompt_embeds.shape[0]
         do_cfg = guidance_scale > 1.0
@@ -174,7 +175,8 @@ class EasyAnimatePipeline:
         denoise = self._denoise_fn(
             num_inference_steps, float(guidance_scale),
             float(guidance_rescale), txt_t5 is not None, 0,
-            teacache_threshold, scan_chunk=scan_chunk, cfg_split=cfg_split)
+            teacache_threshold, scan_chunk=scan_chunk, cfg_split=cfg_split,
+            cfg_skip_ratio=cfg_skip_ratio)
         latents = denoise(self.transformer_params, latents, txt, txt_t5, rope,
                           {}, rng=jax.random.fold_in(rng, 0x5A))
 
@@ -219,7 +221,8 @@ class EasyAnimatePipeline:
                     teacache_threshold: Optional[float] = None,
                     clip_apply_ratio: Optional[float] = None,
                     scan_chunk: Optional[int] = None,
-                    cfg_split: bool = False):
+                    cfg_split: bool = False,
+                    cfg_skip_ratio: Optional[float] = None):
         # reference refuses to enable TeaCache for models with no calibrated
         # polynomial (ui.py:477-478 `coefficients is not None and ...`)
         if teacache_threshold is not None and self.teacache_coefficients is None:
@@ -232,7 +235,7 @@ class EasyAnimatePipeline:
         return self._denoise_fn_for(
             self.scheduler, steps, guidance_scale, guidance_rescale, has_t5,
             t_start, teacache_threshold, clip_apply_ratio, scan_chunk,
-            cfg_split)
+            cfg_split, cfg_skip_ratio)
 
     @functools.lru_cache(maxsize=16)
     def _denoise_fn_for(self, sched, steps: int, guidance_scale: float,
@@ -241,7 +244,8 @@ class EasyAnimatePipeline:
                         teacache_threshold: Optional[float] = None,
                         clip_apply_ratio: Optional[float] = None,
                         scan_chunk: Optional[int] = None,
-                        cfg_split: bool = False):
+                        cfg_split: bool = False,
+                        cfg_skip_ratio: Optional[float] = None):
         model = self.transformer
         latent_channels = self.vae_cfg.latent_channels
         do_cfg = guidance_scale > 1.0
@@ -254,8 +258,12 @@ class EasyAnimatePipeline:
         per_step = jnp.concatenate(
             [per_step, jnp.arange(n_steps, dtype=jnp.float32)[:, None]], axis=1)
 
-        def forward(params, lat, step, txt, txt_t5, rope, cond, tea_carry):
-            """One transformer eval, optionally TeaCache-gated."""
+        def forward(params, lat, step, txt, txt_t5, rope, cond, tea_carry,
+                    use_cfg=True):
+            """One transformer eval, optionally TeaCache-gated. use_cfg is
+            STATIC: False compiles the cond-only tail of a cfg_skip run (txt
+            and cond arrive pre-sliced to the positive half)."""
+            cfg_here = do_cfg and use_cfg
             if (clip_apply_ratio is not None
                     and "clip_encoder_hidden_states" in cond):
                 # zero CLIP conditioning for the first (1 - ratio) of the
@@ -266,7 +274,7 @@ class EasyAnimatePipeline:
                     gate, cond["clip_encoder_hidden_states"], 0.0)
                 cond["clip_attention_mask"] = jnp.where(
                     gate, cond["clip_attention_mask"], 0.0)
-            if do_cfg and cfg_split and teacache_threshold is None:
+            if cfg_here and cfg_split and teacache_threshold is None:
                 # sequential CFG: run uncond and cond halves through the
                 # backbone one after the other -- same math, roughly half
                 # the activation peak (what fits 576x1008x49f beside the
@@ -284,7 +292,7 @@ class EasyAnimatePipeline:
                         **{k: sl(v) for k, v in cond.items()})
 
                 return jnp.concatenate([half(0), half(1)]), tea_carry
-            lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
+            lat_in = jnp.concatenate([lat, lat]) if cfg_here else lat
             t_vec = jnp.full((lat_in.shape[0],), step[0], jnp.float32)
             if teacache_threshold is None:
                 pred = model.apply(params, lat_in, t_vec, txt, rope,
@@ -323,7 +331,7 @@ class EasyAnimatePipeline:
             return pred, (mod, res, acc_out)
 
         def scan_segment(params, carry, seg_steps, txt, txt_t5, rope, cond,
-                         sample_rng):
+                         sample_rng, use_cfg=True):
             def body(carry, step):
                 lat, tea, extra = carry
                 # Euler-family latents live in sigma space: scale the model
@@ -331,10 +339,10 @@ class EasyAnimatePipeline:
                 lat_model = (euler_scale_model_input(lat, step[1])
                              if isinstance(sched, EulerConfig) else lat)
                 pred, tea = forward(params, lat_model, step, txt, txt_t5,
-                                    rope, cond, tea)
+                                    rope, cond, tea, use_cfg=use_cfg)
                 if pred.shape[1] != latent_channels:   # learned sigma
                     pred = pred[:, :latent_channels]
-                if do_cfg:
+                if do_cfg and use_cfg:
                     uncond, text = jnp.split(pred, 2)
                     pred = uncond + guidance_scale * (text - uncond)
                     if guidance_rescale > 0:
@@ -383,7 +391,8 @@ class EasyAnimatePipeline:
 
             return jax.lax.scan(body, carry, seg_steps)[0]
 
-        seg_jit = jax.jit(scan_segment, donate_argnums=(1,))
+        seg_jit = jax.jit(scan_segment, donate_argnums=(1,),
+                          static_argnames=("use_cfg",))
 
         def run(params, latents, txt, txt_t5, rope, cond, rng=None):
             if isinstance(sched, DPMSolverConfig):
@@ -423,10 +432,33 @@ class EasyAnimatePipeline:
             # compilation; the loop carry (latents + TeaCache state) threads
             # through unchanged, so the result is bit-identical to one scan.
             n = per_step.shape[0]
+            # cfg_skip: the last round(ratio*n) steps run cond-only (the
+            # low-noise tail where guidance matters least -- the authors'
+            # follow-up VideoX-Fun ships this as cfg_skip_ratio). Those
+            # steps cost one batch-1 forward instead of a CFG pair.
+            m = n
+            if do_cfg and cfg_skip_ratio:
+                m = n - min(n, max(0, int(round(cfg_skip_ratio * n))))
             c = scan_chunk if scan_chunk else n
-            for k in range(0, n, c):
-                carry = seg_jit(params, carry, per_step[k:k + c], txt,
-                                txt_t5, rope, cond, rng)
+            for k in range(0, m, c):
+                carry = seg_jit(params, carry, per_step[k:min(k + c, m)],
+                                txt, txt_t5, rope, cond, rng)
+            if m < n:
+                b = carry[0].shape[0]
+                sl = lambda a: (a[b:] if (a is not None and hasattr(a, "shape")
+                                          and a.ndim >= 1
+                                          and a.shape[0] == 2 * b) else a)
+                txt_c, txt_t5_c = sl(txt), sl(txt_t5)
+                cond_c = {k_: sl(v) for k_, v in cond.items()}
+                lat, tea, extra = carry
+                if tea is not None:  # keep the positive half of the carry
+                    tea = (tea[0][b:], tea[1][b:], tea[2])
+                carry = (lat, tea, extra)
+                for k in range(m, n, c):
+                    carry = seg_jit(params, carry,
+                                    per_step[k:min(k + c, n)], txt_c,
+                                    txt_t5_c, rope, cond_c, rng,
+                                    use_cfg=False)
             return carry[0]
 
         return run

@@ -272,3 +272,23 @@ def test_control_teacache_never_skip_matches_baseline(rng):
                teacache_threshold=-1e9, **kw)
     np.testing.assert_allclose(np.asarray(tea), np.asarray(base),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_inpaint_cfg_skip_full_equals_guidance_off(rng):
+    """cfg_skip_ratio=1.0 slices the CFG-duplicated cond dict (masks,
+    inpaint latents) to its positive half: equals a guidance-free run."""
+    pipe, cfg, (h, w, vl) = _tiny_inpaint_pipe()
+    pos = jnp.asarray(
+        rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.asarray(
+        rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    video = jnp.asarray(rng.random((1, 3, vl, h, w)).astype(np.float32))
+    mask = np.ones((1, 1, vl, h, w), np.float32)
+    mask[:, :, 0] = 0.0
+    kw = dict(video=video, mask_video=jnp.asarray(mask), height=h, width=w,
+              video_length=vl, num_inference_steps=2, output_type="latent",
+              rng=jax.random.PRNGKey(5))
+    a = pipe(pos, neg, guidance_scale=3.0, cfg_skip_ratio=1.0, **kw)
+    b = pipe(pos, guidance_scale=1.0, **kw)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-6)

@@ -357,3 +357,59 @@ def test_decode_latents_uint8_matches_float():
     u = pipe.decode_latents(lat, to_uint8=True)
     assert u.dtype == np.uint8
     np.testing.assert_array_equal(u, np.round(f * 255.0).astype(np.uint8))
+
+
+# -- cfg_skip_ratio (beyond-ref deterministic step-cost lever; the authors'
+# follow-up VideoX-Fun ships the same knob) ---------------------------------
+
+def _cfg_skip_setup():
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    g = np.random.default_rng(11)
+    pos = jnp.asarray(
+        g.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.asarray(
+        g.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    kw = dict(height=h, width=w, video_length=vl, num_inference_steps=4,
+              decode=False, output_type="latent")
+    return pipe, pos, neg, kw
+
+
+def test_cfg_skip_full_equals_guidance_off():
+    """ratio=1.0 runs every step cond-only == a guidance-free run."""
+    pipe, pos, neg, kw = _cfg_skip_setup()
+    a = pipe(pos, neg, guidance_scale=4.0, cfg_skip_ratio=1.0,
+             rng=jax.random.PRNGKey(7), **kw)
+    b = pipe(pos, guidance_scale=1.0, rng=jax.random.PRNGKey(7), **kw)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-6)
+
+
+def test_cfg_skip_zero_equals_plain_and_partial_differs():
+    pipe, pos, neg, kw = _cfg_skip_setup()
+    r7 = jax.random.PRNGKey(7)
+    plain = pipe(pos, neg, guidance_scale=4.0, rng=r7, **kw)
+    zero = pipe(pos, neg, guidance_scale=4.0, cfg_skip_ratio=0.0, rng=r7, **kw)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(zero))
+    half = pipe(pos, neg, guidance_scale=4.0, cfg_skip_ratio=0.5, rng=r7, **kw)
+    full = pipe(pos, neg, guidance_scale=4.0, cfg_skip_ratio=1.0, rng=r7, **kw)
+    # the mixed run is a genuine mixture: unlike either endpoint
+    assert np.abs(np.asarray(half) - np.asarray(plain)).max() > 1e-4
+    assert np.abs(np.asarray(half) - np.asarray(full)).max() > 1e-4
+
+
+def test_cfg_skip_scan_chunk_bit_identical():
+    """Chunked segments cross the cfg->cond-only boundary unchanged."""
+    pipe, pos, neg, kw = _cfg_skip_setup()
+    a = pipe(pos, neg, guidance_scale=4.0, cfg_skip_ratio=0.5,
+             rng=jax.random.PRNGKey(9), **kw)
+    b = pipe(pos, neg, guidance_scale=4.0, cfg_skip_ratio=0.5, scan_chunk=1,
+             rng=jax.random.PRNGKey(9), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cfg_skip_composes_with_teacache():
+    """TeaCache carry slices to the positive half at the boundary."""
+    pipe, pos, neg, kw = _cfg_skip_setup()
+    out = pipe(pos, neg, guidance_scale=4.0, cfg_skip_ratio=0.5,
+               teacache_threshold=0.05, rng=jax.random.PRNGKey(5), **kw)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
