@@ -103,6 +103,10 @@ INDEX_HTML = """<!DOCTYPE html>
     <label>CFG scale <span class="val" id="cfgv">6.0</span></label>
     <input type="range" id="cfg" min="1" max="20" step="0.5" value="6"
            oninput="cfgv.textContent=(+this.value).toFixed(1)">
+    <label>CFG skip (tail ratio, 0 = off) <span class="val"
+           id="cfgskipv">0.00</span></label>
+    <input type="range" id="cfgskip" min="0" max="1" step="0.05" value="0"
+           oninput="cfgskipv.textContent=(+this.value).toFixed(2)">
     <details>
       <summary>Image to video</summary>
       <div class="imgslot" id="startslot">start image — click to choose
@@ -187,6 +191,7 @@ async function generate() {
     cfg_scale_slider: +$("cfg").value, seed_textbox: +$("seed").value,
   };
   if ($("sampler").value) payload.sampler_dropdown = $("sampler").value;
+  if (+$("cfgskip").value > 0) payload.cfg_skip_ratio = +$("cfgskip").value;
   if (images.start) payload.start_image = images.start;
   if (images.end) payload.end_image = images.end;
   try {
