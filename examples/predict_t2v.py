@@ -35,6 +35,9 @@ def main():
                     help="W8A8 int8 block linears (1.5x MXU; ops/quant.py)")
     ap.add_argument("--int4", action="store_true",
                     help="packed int4 block linears (W4A16 memory mode)")
+    ap.add_argument("--cfg_skip", type=float, default=None,
+                    help="run the last RATIO of the steps cond-only "
+                         "(deterministic ~ratio/2 denoise saving)")
     ap.add_argument("--teacache", type=float, default=None,
                     help="TeaCache rel-L1 threshold (e.g. 0.1)")
     ap.add_argument("--sampler", default=None,
@@ -80,7 +83,7 @@ def main():
         video_length=args.video_length, num_inference_steps=args.steps,
         guidance_scale=args.guidance_scale,
         rng=jax.random.PRNGKey(args.seed),
-        teacache_threshold=args.teacache)
+        teacache_threshold=args.teacache, cfg_skip_ratio=args.cfg_skip)
     save_videos_grid(np.asarray(video), args.output, fps=8)
     print("saved", args.output, video.shape)
 
