@@ -85,7 +85,8 @@ def _safe_scan_chunk(args, use_swa: bool, int8: bool, height, width,
 
 
 def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
-                    frames, text_len, keep_final=False, int4: bool = False):
+                    frames, text_len, keep_final=False, int4: bool = False,
+                    cfg_skip=None):
     """Full protocol for one config: build fp8/int8 params, warm 25-step
     run, timed 25-step run. Returns (s/step, final_latents_or_None)."""
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
@@ -140,7 +141,8 @@ def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
                    rng=jax.random.PRNGKey(seed), decode=False,
                    output_type="latent", teacache_threshold=teacache,
                    scan_chunk=scan_chunk, cfg_split=args.cfg_split,
-                   cfg_skip_ratio=args.cfg_skip or None)
+                   cfg_skip_ratio=(args.cfg_skip if cfg_skip is None
+                                   else cfg_skip) or None)
         float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
         return out
 
@@ -230,24 +232,27 @@ def main():
         # dense s/step rides in the same tracked artifact (VERDICT r2).
         # Best-effort: a failure in a secondary config (e.g. a tunnel
         # hiccup) must not lose the already-measured tracked metric.
-        primary_is = (use_swa, args.int8, teacache)
+        # (int4 / cfg_skip primaries are never reusable as a labeled dense
+        # field — they measure a different compute mode / step schedule)
+        primary_is = (use_swa, args.int8, teacache, args.int4,
+                      bool(args.cfg_skip))
         try:
-            if primary_is == (False, True, None):
+            if primary_is == (False, True, None, False, False):
                 dense_int8 = sec_per_step
             else:
                 dense_int8, _ = _measure_config(args, False, True, None,
                                                 height, width, frames,
-                                                text_len)
+                                                text_len, cfg_skip=0.0)
             extra["dense_int8_s_per_step"] = round(dense_int8, 4)
         except Exception as e:  # noqa: BLE001
             print(f"# secondary dense-int8 failed: {e}", file=sys.stderr)
         try:
-            if primary_is == (False, False, None):
+            if primary_is == (False, False, None, False, False):
                 dense_bf16 = sec_per_step
             else:
                 dense_bf16, _ = _measure_config(args, False, False, None,
                                                 height, width, frames,
-                                                text_len)
+                                                text_len, cfg_skip=0.0)
             extra["dense_bf16_s_per_step"] = round(dense_bf16, 4)
         except Exception as e:  # noqa: BLE001
             print(f"# secondary dense-bf16 failed: {e}", file=sys.stderr)

@@ -21,14 +21,17 @@ from typing import Optional
 import numpy as np
 
 
-def encode_video_b64(video: np.ndarray, fps: int = 8) -> str:
+def encode_video_b64(video: np.ndarray, fps: int = 8,
+                     color_transfer_post_process: bool = False) -> str:
     """(C,T,H,W) [0,1] -> base64 mp4 bytes (cv2 encoder; no ffmpeg here)."""
     import tempfile
 
     from ..utils.media import save_videos_grid
 
     with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
-        save_videos_grid(np.asarray(video)[None], f.name, fps=fps)
+        save_videos_grid(
+            np.asarray(video)[None], f.name, fps=fps,
+            color_transfer_post_process=color_transfer_post_process)
         f.seek(0)
         return base64.b64encode(f.read()).decode()
 
@@ -70,7 +73,13 @@ def infer_forward(controller, payload: dict) -> dict:
     video = controller.generate(**kwargs)
     return {
         "message": "Success",
-        "base64_encoding": encode_video_b64(np.asarray(video)[0]),
+        "base64_encoding": encode_video_b64(
+            np.asarray(video)[0],
+            # pin per-frame color stats to frame 0 on export (reference
+            # utils.py:49-62 save_videos_grid flag) -- useful for long
+            # sliding-window generations that drift in tone
+            color_transfer_post_process=bool(
+                payload.get("color_transfer_post_process"))),
     }
 
 

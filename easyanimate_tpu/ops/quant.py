@@ -62,6 +62,15 @@ def _int4_groups(fan_in: int) -> int:
     return fan_in // GROUP_INT4 if fan_in % GROUP_INT4 == 0 else 1
 
 
+def quantize_weight_int8(w) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., in, out] float -> (int8 [..., in, out], f32 scale [..., out]).
+    Symmetric per-out-channel absmax."""
+    w = jnp.asarray(w, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-2) / 127.0, 1e-12)
+    wq = jnp.round(w / scale[..., None, :]).astype(jnp.int8)
+    return wq, scale.astype(jnp.float32)
+
+
 def quantize_weight_int4(w) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[..., in, out] float -> (int8 packed [..., in//2, out] two nibbles
     per byte, f32 scale [..., n_groups, out]). Symmetric per-(group, out
@@ -90,15 +99,22 @@ def unpack_int4(packed: jnp.ndarray, fan_in: int) -> jnp.ndarray:
     return q.reshape(*packed.shape[:-2], fan_in, packed.shape[-1])
 
 
+def dequantize_int4(packed: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """int8 packed [..., in//2, out] + f32 scale [..., groups, out] ->
+    f32 [..., in, out]. The single definition of the group/nibble layout's
+    inverse (used by the matmuls and LoRA merge alike)."""
+    fan_in = packed.shape[-2] * 2
+    groups = scale.shape[-2]
+    q = unpack_int4(packed, fan_in)
+    qg = q.reshape(*q.shape[:-2], groups, fan_in // groups, q.shape[-1])
+    return (qg * scale[..., None, :]).reshape(q.shape)
+
+
 def int4_matmul(x: jnp.ndarray, w_packed: jnp.ndarray, w_scale: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None,
                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """x [..., in]; w_packed int8 [in//2, out]; w_scale f32 [groups, out]."""
-    fan_in = x.shape[-1]
-    out = w_packed.shape[-1]
-    groups = w_scale.shape[-2]
-    q = unpack_int4(w_packed, fan_in).reshape(groups, fan_in // groups, out)
-    w = (q * w_scale[:, None, :]).astype(out_dtype).reshape(fan_in, out)
+    w = dequantize_int4(w_packed, w_scale).astype(out_dtype)
     y = x.astype(out_dtype) @ w
     if bias is not None:
         y = y + bias.astype(out_dtype)
@@ -126,11 +142,9 @@ def int4_matmul_a8(x: jnp.ndarray, w_packed: jnp.ndarray,
     return int8_matmul(x, q8, s8, bias, out_dtype)
 
 
-def quantize_params_int4(params):
-    """Float params tree (linear_quant=None model) -> tree for the SAME
-    config with linear_quant="int4": block-linear kernels become packed
-    int4 (two per int8 byte) with a per-(group=128, out-channel) f32
-    "scale" sibling. Handles nn.scan-stacked kernels [L, in, out]."""
+def _quantize_params(params, quantize_fn):
+    """Shared traversal: replace every floating block-linear kernel with
+    (quantized kernel, f32 "scale" sibling) = quantize_fn(leaf)."""
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(params)
@@ -138,12 +152,20 @@ def quantize_params_int4(params):
     for path, leaf in flat.items():
         if _is_block_linear(path) and jnp.issubdtype(
                 jnp.asarray(leaf).dtype, jnp.floating):
-            packed, scale = quantize_weight_int4(jnp.asarray(leaf))
-            out[path] = packed
+            wq, scale = quantize_fn(jnp.asarray(leaf))
+            out[path] = wq
             out[path[:-1] + ("scale",)] = scale
         else:
             out[path] = leaf
     return traverse_util.unflatten_dict(out)
+
+
+def quantize_params_int4(params):
+    """Float params tree (linear_quant=None model) -> tree for the SAME
+    config with linear_quant="int4": block-linear kernels become packed
+    int4 (two per int8 byte) with a per-(group=128, out-channel) f32
+    "scale" sibling. Handles nn.scan-stacked kernels [L, in, out]."""
+    return _quantize_params(params, quantize_weight_int4)
 
 
 # Block linears that MMDiTBlock routes through the int8 path when
@@ -166,18 +188,4 @@ def quantize_params_int8(params):
     kernels ([L, in, out] -> scale [L, out]); everything else passes
     through unchanged. Quantization is per-out-channel, so it commutes with
     PermutedDense's static output permutation."""
-    from flax import traverse_util
-
-    flat = traverse_util.flatten_dict(params)
-    out = {}
-    for path, leaf in flat.items():
-        if _is_block_linear(path) and jnp.issubdtype(
-                jnp.asarray(leaf).dtype, jnp.floating):
-            w = jnp.asarray(leaf, jnp.float32)
-            scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-2) / 127.0, 1e-12)
-            wq = jnp.round(w / scale[..., None, :]).astype(jnp.int8)
-            out[path] = wq
-            out[path[:-1] + ("scale",)] = scale.astype(jnp.float32)
-        else:
-            out[path] = leaf
-    return traverse_util.unflatten_dict(out)
+    return _quantize_params(params, quantize_weight_int8)

@@ -53,6 +53,18 @@ from .schedulers import (
 )
 
 
+def _cfg_half(a, i, b):
+    """Half i (0=uncond, 1=cond) of a CFG-batched array. Arrays whose
+    leading dim is exactly 2*b are sliced; everything else (None, scalars,
+    batch-b conditioning that is not CFG-duplicated) passes through. The
+    single definition of the "which cond entries are CFG-batched" rule used
+    by both cfg_split halves and the cfg_skip cond-only tail."""
+    if (a is None or not hasattr(a, "shape") or a.ndim < 1
+            or a.shape[0] != 2 * b):
+        return a
+    return a[i * b:(i + 1) * b]
+
+
 # TeaCache rel-L1 -> skip-score polynomial (reference
 # transformer3d.py:1485-1491 default coefficients; highest degree first)
 TEACACHE_COEFFICIENTS = (
@@ -283,9 +295,7 @@ class EasyAnimatePipeline:
                 hb = txt.shape[0] // 2
 
                 def half(i):
-                    sl = lambda a: (a[i * hb:(i + 1) * hb]
-                                    if (a is not None
-                                        and a.shape[0] == 2 * hb) else a)
+                    sl = lambda a: _cfg_half(a, i, hb)
                     return model.apply(
                         params, lat, t_vec, sl(txt), rope,
                         encoder_hidden_states_t5=sl(txt_t5),
@@ -445,9 +455,7 @@ class EasyAnimatePipeline:
                                 txt, txt_t5, rope, cond, rng)
             if m < n:
                 b = carry[0].shape[0]
-                sl = lambda a: (a[b:] if (a is not None and hasattr(a, "shape")
-                                          and a.ndim >= 1
-                                          and a.shape[0] == 2 * b) else a)
+                sl = lambda a: _cfg_half(a, 1, b)
                 txt_c, txt_t5_c = sl(txt), sl(txt_t5)
                 cond_c = {k_: sl(v) for k_, v in cond.items()}
                 lat, tea, extra = carry

@@ -72,29 +72,19 @@ def merge_lora(params: Any, lora: Any, cfg: LoRAConfig,
     for path, fac in lora.items():
         delta = jnp.matmul(fac["down"], fac["up"]) * coef
         kern = flat[path]
-        if kern.dtype == jnp.int8 and kern.shape[-2] * 2 == delta.shape[-2]:
-            from ..ops.quant import quantize_weight_int4, unpack_int4
+        if kern.dtype == jnp.int8:
+            from ..ops.quant import (dequantize_int4, quantize_weight_int4,
+                                     quantize_weight_int8)
 
             assert path.endswith("kernel"), path
             spath = path[:-len("kernel")] + "scale"
             wscale = flat[spath]
-            fan_in = delta.shape[-2]
-            groups = wscale.shape[-2]
-            q = unpack_int4(kern, fan_in).astype(jnp.float32)
-            qg = q.reshape(*q.shape[:-2], groups, fan_in // groups,
-                           q.shape[-1])
-            w = (qg * wscale[..., None, :]).reshape(q.shape) + delta
-            flat[path], flat[spath] = quantize_weight_int4(w)
-        elif kern.dtype == jnp.int8:
-            assert path.endswith("kernel"), path
-            spath = path[:-len("kernel")] + "scale"
-            wscale = flat[spath]
-            w = kern.astype(jnp.float32) * wscale[..., None, :] + delta
-            new_scale = jnp.maximum(
-                jnp.max(jnp.abs(w), axis=-2) / 127.0, 1e-12)
-            flat[spath] = new_scale.astype(jnp.float32)
-            flat[path] = jnp.round(
-                w / new_scale[..., None, :]).astype(jnp.int8)
+            if kern.shape[-2] * 2 == delta.shape[-2]:  # packed int4
+                w = dequantize_int4(kern, wscale) + delta
+                flat[path], flat[spath] = quantize_weight_int4(w)
+            else:
+                w = kern.astype(jnp.float32) * wscale[..., None, :] + delta
+                flat[path], flat[spath] = quantize_weight_int8(w)
         else:
             flat[path] = (kern.astype(jnp.float32) + delta).astype(kern.dtype)
     return _unflat(flat)

@@ -43,13 +43,16 @@ class EasyAnimateController:
         from ..loader import load_pipeline
 
         tcfg = getattr(self.pipeline.transformer, "cfg", None)
+        quant = getattr(tcfg, "linear_quant", None)
         new = load_pipeline(
             path,
             pipeline_type="inpaint"
             if isinstance(self.pipeline, EasyAnimateInpaintPipeline)
             else "t2v",
-            int8_linears=getattr(tcfg, "linear_quant", None) == "int8",
-            int4_weights=getattr(tcfg, "linear_quant", None) in ("int4", "w4a8"))
+            int8_linears=quant == "int8",
+            int4_weights=quant in ("int4", "w4a8"),
+            # W4A16 ("int4") must not silently become W4A8 across a swap
+            int4_compute="bf16" if quant == "int4" else "int8")
         self.pipeline = new
 
     #: edition name -> config yaml (reference ui.py update_edition table)

@@ -29,7 +29,12 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 int8 block linears")
     ap.add_argument("--int4", action="store_true",
-                    help="packed int4 block linears (W4A16 memory mode)")
+                    help="packed int4 block linears (memory mode; compute "
+                         "per --int4_compute)")
+    ap.add_argument("--int4_compute", default="int8",
+                    choices=["int8", "bf16"],
+                    help="matmul path for --int4: int8 = W4A8 (default), "
+                         "bf16 = W4A16 dequant")
     ap.add_argument("--scheduler", default="Flow")
     ap.add_argument("--server_port", type=int, default=7860)
     args = ap.parse_args()
@@ -41,6 +46,7 @@ def main():
     pipe = load_pipeline(args.model_path, args.pipeline,
                          fp8_weights=args.fp8, int8_linears=args.int8,
                          int4_weights=args.int4,
+                         int4_compute=args.int4_compute,
                          scheduler=args.scheduler)
     encode_text = load_text_encoders(
         args.model_path, text_encoder_path=args.text_encoder_path)

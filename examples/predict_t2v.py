@@ -34,7 +34,12 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 int8 block linears (1.5x MXU; ops/quant.py)")
     ap.add_argument("--int4", action="store_true",
-                    help="packed int4 block linears (W4A16 memory mode)")
+                    help="packed int4 block linears (memory mode, ~6.7 GB "
+                         "resident; compute per --int4_compute)")
+    ap.add_argument("--int4_compute", default="int8",
+                    choices=["int8", "bf16"],
+                    help="matmul path for --int4: int8 = W4A8 (default), "
+                         "bf16 = W4A16 dequant")
     ap.add_argument("--cfg_skip", type=float, default=None,
                     help="run the last RATIO of the steps cond-only "
                          "(deterministic ~ratio/2 denoise saving)")
@@ -47,6 +52,9 @@ def main():
     ap.add_argument("--lora_scale", type=float, default=1.0)
     ap.add_argument("--text_encoder_path", default=None,
                     help="Qwen2-VL dir for on-TPU text encoding")
+    ap.add_argument("--color_transfer", action="store_true",
+                    help="pin per-frame color stats to frame 0 on export "
+                         "(reference save_videos_grid flag)")
     ap.add_argument("--output", default="samples/t2v.mp4")
     args = ap.parse_args()
 
@@ -57,7 +65,8 @@ def main():
 
         pipe = load_pipeline(args.model_path, "t2v", fp8_weights=args.fp8,
                              int8_linears=args.int8,
-                             int4_weights=args.int4)
+                             int4_weights=args.int4,
+                             int4_compute=args.int4_compute)
         if args.lora:
             from easyanimate_tpu.training.lora import load_lora, merge_lora
 
@@ -84,7 +93,8 @@ def main():
         guidance_scale=args.guidance_scale,
         rng=jax.random.PRNGKey(args.seed),
         teacache_threshold=args.teacache, cfg_skip_ratio=args.cfg_skip)
-    save_videos_grid(np.asarray(video), args.output, fps=8)
+    save_videos_grid(np.asarray(video), args.output, fps=8,
+                     color_transfer_post_process=args.color_transfer)
     print("saved", args.output, video.shape)
 
 

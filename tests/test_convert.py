@@ -538,17 +538,14 @@ def test_lora_convert_skips_text_encoder_and_rejects_unknown(rng):
         convert_lora_state_dict(ksd, cfg)
 
 
-def test_load_pipeline_quant_modes(rng, tmp_path):
-    """End-to-end loader path over a full reference-format model directory
-    (transformer + vae + scheduler): float / int8_linears / int4_weights
-    all load strict, int4 halves the stored block-kernel bytes, and every
-    mode denoises to finite latents close in direction to float."""
+def _write_tiny_model_dir(root, rng):
+    """Reference-format model directory (transformer + vae + scheduler)
+    for loader tests. Returns the tiny MMDiT config used."""
     import json
     import os
 
     from safetensors.numpy import save_file
 
-    from easyanimate_tpu.loader import load_pipeline
     from easyanimate_tpu.models.convert import (
         _mmdit_config_json,
         save_reference_checkpoint,
@@ -556,7 +553,6 @@ def test_load_pipeline_quant_modes(rng, tmp_path):
 
     cfg = dataclasses.replace(PRESETS["tiny"], text_embed_dim_t5=None)
     sd = {k: 0.05 * v for k, v in _synth_mmdit_sd(cfg, rng).items()}
-    root = tmp_path / "model"
     save_reference_checkpoint(str(root / "transformer"), sd,
                               _mmdit_config_json(cfg))
     vsd = _synth_vae_sd(TINY_VAE, rng)
@@ -577,6 +573,18 @@ def test_load_pipeline_quant_modes(rng, tmp_path):
                "num_train_timesteps": 1000, "shift": 3.0,
                "use_dynamic_shifting": True},
               open(root / "scheduler" / "scheduler_config.json", "w"))
+    return cfg
+
+
+def test_load_pipeline_quant_modes(rng, tmp_path):
+    """End-to-end loader path over a full reference-format model directory
+    (transformer + vae + scheduler): float / int8_linears / int4_weights
+    all load strict, int4 halves the stored block-kernel bytes, and every
+    mode denoises to finite latents close in direction to float."""
+    from easyanimate_tpu.loader import load_pipeline
+
+    root = tmp_path / "model"
+    cfg = _write_tiny_model_dir(root, rng)
 
     import jax
 
@@ -617,3 +625,25 @@ def test_load_pipeline_quant_modes(rng, tmp_path):
 
     with pytest.raises(ValueError):
         load_pipeline(str(root), "t2v", int8_linears=True, int4_weights=True)
+
+
+def test_hot_swap_preserves_serving_mode(rng, tmp_path):
+    """Controller checkpoint hot-swap keeps the live pipeline's quant mode,
+    including W4A16 vs W4A8 (a W4A16 "int4" pipeline must not silently
+    come back as W4A8 because the loader's int4_compute default is int8)."""
+    from easyanimate_tpu.loader import load_pipeline
+    from easyanimate_tpu.ui.controller import EasyAnimateController
+
+    root = tmp_path / "model"
+    _write_tiny_model_dir(root, rng)
+
+    for kwargs, expect in (
+            (dict(int8_linears=True), "int8"),
+            (dict(int4_weights=True), "w4a8"),
+            (dict(int4_weights=True, int4_compute="bf16"), "int4"),
+            (dict(), None)):
+        pipe = load_pipeline(str(root), "t2v", dtype="float32", **kwargs)
+        assert pipe.transformer.cfg.linear_quant == expect
+        ctl = EasyAnimateController(pipeline=pipe)
+        ctl.update_diffusion_transformer(str(root))
+        assert ctl.pipeline.transformer.cfg.linear_quant == expect, kwargs
