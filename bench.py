@@ -69,7 +69,7 @@ def build_params_fp8(model, example):
 
 
 def _safe_scan_chunk(args, use_swa: bool, int8: bool, height, width,
-                     frames) -> int:
+                     frames, cfg_split=None) -> int:
     """Clamp the denoise segment length so one device program stays under
     the ~60-75 s TPU execution deadline (CLAUDE.md): estimate s/step from
     the measured 384x672x49f numbers scaled by token count (attention is
@@ -79,14 +79,17 @@ def _safe_scan_chunk(args, use_swa: bool, int8: bool, height, width,
             (False, True): 4.6, (False, False): 5.3}[(use_swa, int8)]
     tokens = (height // 16) * (width // 16) * ((frames - 1) // 4 + 1)
     est = base * max(tokens / 13104.0, 1.0) ** 1.5
-    if getattr(args, "cfg_split", False):
+    if (getattr(args, "cfg_split", False) if cfg_split is None
+            else cfg_split):
         est *= 1.1  # two half-batch programs per segment, slight overhead
+    if args.scan_chunk == 0:  # explicit "one unchunked scan"
+        return 0
     return max(1, min(args.scan_chunk, int(50.0 / est)))
 
 
 def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
                     frames, text_len, keep_final=False, int4: bool = False,
-                    cfg_skip=None):
+                    cfg_skip=None, cfg_split=None):
     """Full protocol for one config: build fp8/int8 params, warm 25-step
     run, timed 25-step run. Returns (s/step, final_latents_or_None)."""
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
@@ -133,14 +136,16 @@ def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
                                    jnp.bfloat16)
     neg = jnp.zeros_like(pos)
 
-    scan_chunk = _safe_scan_chunk(args, use_swa, int8, height, width, frames)
+    split = args.cfg_split if cfg_split is None else cfg_split
+    scan_chunk = _safe_scan_chunk(args, use_swa, int8, height, width, frames,
+                                  cfg_split=split)
 
     def run(seed):
         out = pipe(pos, neg, height=height, width=width, video_length=frames,
                    num_inference_steps=args.steps, guidance_scale=6.0,
                    rng=jax.random.PRNGKey(seed), decode=False,
                    output_type="latent", teacache_threshold=teacache,
-                   scan_chunk=scan_chunk, cfg_split=args.cfg_split,
+                   scan_chunk=scan_chunk, cfg_split=split,
                    cfg_skip_ratio=(args.cfg_skip if cfg_skip is None
                                    else cfg_skip) or None)
         float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
@@ -232,27 +237,30 @@ def main():
         # dense s/step rides in the same tracked artifact (VERDICT r2).
         # Best-effort: a failure in a secondary config (e.g. a tunnel
         # hiccup) must not lose the already-measured tracked metric.
-        # (int4 / cfg_skip primaries are never reusable as a labeled dense
-        # field — they measure a different compute mode / step schedule)
+        # (int4 / cfg_skip / cfg_split primaries are never reusable as a
+        # labeled dense field — different compute mode / step schedule /
+        # CFG batching; the dense fields are defined as batched CFG)
         primary_is = (use_swa, args.int8, teacache, args.int4,
-                      bool(args.cfg_skip))
+                      bool(args.cfg_skip), args.cfg_split)
         try:
-            if primary_is == (False, True, None, False, False):
+            if primary_is == (False, True, None, False, False, False):
                 dense_int8 = sec_per_step
             else:
                 dense_int8, _ = _measure_config(args, False, True, None,
                                                 height, width, frames,
-                                                text_len, cfg_skip=0.0)
+                                                text_len, cfg_skip=0.0,
+                                                cfg_split=False)
             extra["dense_int8_s_per_step"] = round(dense_int8, 4)
         except Exception as e:  # noqa: BLE001
             print(f"# secondary dense-int8 failed: {e}", file=sys.stderr)
         try:
-            if primary_is == (False, False, None, False, False):
+            if primary_is == (False, False, None, False, False, False):
                 dense_bf16 = sec_per_step
             else:
                 dense_bf16, _ = _measure_config(args, False, False, None,
                                                 height, width, frames,
-                                                text_len, cfg_skip=0.0)
+                                                text_len, cfg_skip=0.0,
+                                                cfg_split=False)
             extra["dense_bf16_s_per_step"] = round(dense_bf16, 4)
         except Exception as e:  # noqa: BLE001
             print(f"# secondary dense-bf16 failed: {e}", file=sys.stderr)

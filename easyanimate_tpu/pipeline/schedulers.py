@@ -455,18 +455,17 @@ def make_scheduler(name: str, base=None, **overrides):
         raise ValueError(f"unknown sampler {name!r}; one of "
                          f"{sorted(SAMPLER_REGISTRY)}")
     cls = SAMPLER_REGISTRY[key]
-    if cls is FlowMatchEulerConfig:
-        if isinstance(base, FlowMatchEulerConfig):
-            return dataclasses.replace(base, **overrides)
-        return FlowMatchEulerConfig(**overrides)
-    if type(base) is cls:
+    if type(base) is cls or (cls is FlowMatchEulerConfig
+                             and isinstance(base, FlowMatchEulerConfig)):
         # re-selecting the current sampler is a no-op: keep subclass-only
         # fields (e.g. DPMSolverConfig.solver_order) intact
         return dataclasses.replace(base, **overrides)
     fields = {}
-    if isinstance(base, DDIMConfig):
+    if base is not None and dataclasses.is_dataclass(base):
         # copy every field the target class shares with the base (diffusers
-        # from_config(scheduler.config) keeps all matching keys)
+        # from_config(scheduler.config) keeps all matching keys) — across
+        # families too: a FlowMatch base's num_train_timesteps must survive
+        # a switch to DDIM/Euler and vice versa
         target_names = {f.name for f in dataclasses.fields(cls)}
         fields = {f.name: getattr(base, f.name)
                   for f in dataclasses.fields(type(base))

@@ -238,8 +238,13 @@ class EasyAnimatePipeline:
         # reference refuses to enable TeaCache for models with no calibrated
         # polynomial (ui.py:477-478 `coefficients is not None and ...`)
         if teacache_threshold is not None and self.teacache_coefficients is None:
-            print("TeaCache disabled: no calibrated coefficients for this "
-                  "model (reference get_teacache_coefficients returned None)")
+            if not getattr(self, "_teacache_warned", False):
+                # once per pipeline, not per request (servers call this
+                # wrapper on every generate)
+                print("TeaCache disabled: no calibrated coefficients for "
+                      "this model (reference get_teacache_coefficients "
+                      "returned None)")
+                self._teacache_warned = True
             teacache_threshold = None
         # the live scheduler enters the cache key so runtime sampler
         # switching (controller.generate sampler=..., reference ui.py:472)

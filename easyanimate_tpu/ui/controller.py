@@ -34,6 +34,11 @@ class EasyAnimateController:
     lora_cfg: Optional[LoRAConfig] = None
     _lora_merged: bool = dataclasses.field(default=False, init=False)
     _lora: Optional[dict] = dataclasses.field(default=None, init=False)
+    #: the model's own scheduler, captured before any runtime sampler
+    #: switch so a request without a sampler gets the model default (the
+    #: switch must not leak across requests)
+    _default_scheduler: Optional[object] = dataclasses.field(
+        default=None, init=False)
 
     # -- model management ---------------------------------------------------
 
@@ -54,6 +59,7 @@ class EasyAnimateController:
             # W4A16 ("int4") must not silently become W4A8 across a swap
             int4_compute="bf16" if quant == "int4" else "int8")
         self.pipeline = new
+        self._default_scheduler = None  # new pipeline, new default
 
     #: edition name -> config yaml (reference ui.py update_edition table)
     EDITION_CONFIGS = {
@@ -153,13 +159,19 @@ class EasyAnimateController:
         sampler: Optional[str] = None,
         **kw,
     ) -> np.ndarray:
+        if self._default_scheduler is None:
+            self._default_scheduler = self.pipeline.scheduler
         if sampler:
             # runtime sampler switch (reference ui.py:472: the dropdown
-            # rebuilds the scheduler from the live scheduler's config)
+            # rebuilds the scheduler from the model scheduler's config).
+            # Per-request, from the model default — a request that omits
+            # the sampler must not inherit the previous request's choice.
             from ..pipeline.schedulers import make_scheduler
 
             self.pipeline.scheduler = make_scheduler(
-                sampler, base=self.pipeline.scheduler)
+                sampler, base=self._default_scheduler)
+        else:
+            self.pipeline.scheduler = self._default_scheduler
         pos, neg, extra = self._embeds(prompt, negative_prompt)
         kw = {**extra, **kw}
         if self.enable_teacache:

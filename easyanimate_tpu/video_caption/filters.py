@@ -93,7 +93,8 @@ def compute_text_score(video_path: str,
     (compute_text_score.py parity).
 
     ocr_fn(frame_rgb) -> list of (x0, y0, x1, y1) boxes; defaults to easyocr
-    when importable, else the weight-free cv2 MSER detector."""
+    when importable, else the weight-free morphological text-line detector
+    (default_text_boxes: gradient + Otsu + close + connected components)."""
     if ocr_fn is None:
         try:
             import easyocr  # type: ignore

@@ -329,11 +329,15 @@ def main():
         return loaded, batch
 
     with mesh:
-        loaded = next(loader)
-        rng, r_enc = jax.random.split(rng)
-        shaped, pending = prepare_batch(loaded, r_enc)
-        if args.sanity_check and jax.process_index() == 0:
-            _sanity_dump(args, shaped)
+        if step0 < args.max_train_steps:
+            # guarded so a resume of an already-complete run does not pull
+            # (and advance the sampler cursor past) a never-trained batch
+            # that the final save below would then persist
+            loaded = next(loader)
+            rng, r_enc = jax.random.split(rng)
+            shaped, pending = prepare_batch(loaded, r_enc)
+            if args.sanity_check and jax.process_index() == 0:
+                _sanity_dump(args, shaped)
         for step in range(step0, args.max_train_steps):
             batch = pending
             rng, r_step = jax.random.split(rng)

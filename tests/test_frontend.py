@@ -156,6 +156,33 @@ def test_prompt_through_server_with_text_encoder():
         server.shutdown()
 
 
+def test_sampler_switch_not_sticky(rng):
+    """A request naming a sampler must not leak it into the next request:
+    omitting sampler_dropdown restores the model-default scheduler (the
+    reference dropdown sends a value every request, so its scheduler is
+    rebuilt per request)."""
+    from easyanimate_tpu.pipeline.schedulers import (
+        EulerAncestralConfig,
+        FlowMatchEulerConfig,
+    )
+
+    pipe, cfg = _tiny_inpaint_pipe()
+
+    def encode_text(prompts):
+        return {"text": jnp.ones((len(prompts), 6, cfg.text_embed_dim),
+                                 jnp.float32) * 0.01}
+
+    ctl = EasyAnimateController(pipeline=pipe, encode_text=encode_text)
+    default = pipe.scheduler
+    assert isinstance(default, FlowMatchEulerConfig)
+    kw = dict(prompt="a cat", sample_steps=2, width=32, height=32,
+              video_length=5, cfg_scale=1.0)
+    ctl.generate(**kw, sampler="Euler A")
+    assert isinstance(ctl.pipeline.scheduler, EulerAncestralConfig)
+    ctl.generate(**kw)  # no sampler -> model default, not Euler A
+    assert ctl.pipeline.scheduler is default
+
+
 def test_web_ui_served_and_lora_endpoint():
     """GET / returns the browser app; POST /update_lora hits the controller."""
 

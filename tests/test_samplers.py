@@ -173,6 +173,20 @@ def test_make_scheduler_inherits_base_config():
     assert new.beta_schedule == "squaredcos_cap_v2"
 
 
+def test_make_scheduler_carries_config_across_families():
+    """Shared fields survive FlowMatch <-> DDIM-family switches too (the
+    reference's from_config copies all matching keys regardless of the
+    base class)."""
+    flow = FlowMatchEulerConfig(num_train_timesteps=500, shift=5.0)
+    ddim = make_scheduler("DDIM", base=flow)
+    assert ddim.num_train_timesteps == 500
+    back = make_scheduler("Flow", base=DDIMConfig(num_train_timesteps=250))
+    assert isinstance(back, FlowMatchEulerConfig)
+    assert back.num_train_timesteps == 250
+    assert back.shift == FlowMatchEulerConfig.shift  # not shared: default
+    assert make_scheduler("Flow", base=flow).shift == 5.0  # same family
+
+
 # ---------------------------------------------------------------------------
 # end-to-end through the tiny pipeline
 # ---------------------------------------------------------------------------
