@@ -49,6 +49,27 @@ def _load_safetensors_dir(path: str):
     return sd
 
 
+def _override_state_dict(base_sd: dict, ckpt_path: Optional[str],
+                         what: str) -> dict:
+    """Overlay a component checkpoint file onto a base state dict
+    (reference predict_t2v.py:110-119 `load_state_dict(state_dict,
+    strict=False)`): keys present in the file override, keys missing keep
+    the base weights, unexpected keys are reported and dropped."""
+    if ckpt_path is None:
+        return base_sd
+    from safetensors.numpy import load_file
+
+    if not ckpt_path.endswith("safetensors"):
+        raise ValueError(f"{what}_path must be a .safetensors file "
+                         f"(got {ckpt_path!r})")
+    sd = load_file(ckpt_path)
+    unexpected = [k for k in sd if k not in base_sd]
+    missing = sum(1 for k in base_sd if k not in sd)
+    print(f"From checkpoint: {ckpt_path} ({what}) — "
+          f"missing keys: {missing}, unexpected keys: {len(unexpected)}")
+    return {**base_sd, **{k: v for k, v in sd.items() if k in base_sd}}
+
+
 def mmdit_config_from_json(cfg: dict, dtype: str = "bfloat16") -> MMDiTConfig:
     """Map a reference transformer config.json to MMDiTConfig."""
     return MMDiTConfig(
@@ -219,6 +240,8 @@ def load_pipeline(
     int4_compute: str = "int8",
     scheduler: Optional[str] = None,
     strict: bool = True,
+    transformer_path: Optional[str] = None,
+    vae_path: Optional[str] = None,
 ):
     """Build a ready pipeline from a reference-format model directory.
 
@@ -231,7 +254,9 @@ def load_pipeline(
     (~6 GB resident for the 12B: fits 576x1008x49f on one 16 GB chip) --
     mutually exclusive with int8_linears. int4_compute picks the matmul
     path: "int8" (default, W4A8 -- int4 memory at int8-MXU throughput,
-    ops/quant.py::int4_matmul_a8) or "bf16" (W4A16 dequant matmul)."""
+    ops/quant.py::int4_matmul_a8) or "bf16" (W4A16 dequant matmul).
+    transformer_path / vae_path overlay a component safetensors checkpoint
+    on the base model dir (reference predict scripts' same-named knobs)."""
     if int8_linears and int4_weights:
         raise ValueError("int8_linears and int4_weights are exclusive")
     if int4_compute not in ("int8", "bf16"):
@@ -252,6 +277,11 @@ def load_pipeline(
 
     tsd = _load_safetensors_dir(os.path.join(model_path, "transformer"))
     vsd = _load_safetensors_dir(os.path.join(model_path, "vae"))
+    # component checkpoint overrides (reference predict_t2v.py:110-119,
+    # 146-157: a safetensors file load_state_dict'ed strict=False over the
+    # base model — keys present override, missing keys keep base weights)
+    tsd = _override_state_dict(tsd, transformer_path, "transformer")
+    vsd = _override_state_dict(vsd, vae_path, "vae")
     tparams = convert_mmdit_state_dict(tsd, mmdit_cfg)
     vparams = convert_vae_state_dict(vsd, vae_cfg)
     if quant == "int8":

@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--lora_scale", type=float, default=1.0)
     ap.add_argument("--text_encoder_path", default=None,
                     help="Qwen2-VL dir for on-TPU text encoding")
+    ap.add_argument("--transformer_path", default=None,
+                    help="safetensors overlay for the transformer "
+                         "(reference predict_t2v.py transformer_path)")
+    ap.add_argument("--vae_path", default=None,
+                    help="safetensors overlay for the VAE")
+    ap.add_argument("--fps", type=int, default=8)
     ap.add_argument("--color_transfer", action="store_true",
                     help="pin per-frame color stats to frame 0 on export "
                          "(reference save_videos_grid flag)")
@@ -66,7 +72,9 @@ def main():
         pipe = load_pipeline(args.model_path, "t2v", fp8_weights=args.fp8,
                              int8_linears=args.int8,
                              int4_weights=args.int4,
-                             int4_compute=args.int4_compute)
+                             int4_compute=args.int4_compute,
+                             transformer_path=args.transformer_path,
+                             vae_path=args.vae_path)
         if args.lora:
             from easyanimate_tpu.training.lora import load_lora, merge_lora
 
@@ -93,7 +101,7 @@ def main():
         guidance_scale=args.guidance_scale,
         rng=jax.random.PRNGKey(args.seed),
         teacache_threshold=args.teacache, cfg_skip_ratio=args.cfg_skip)
-    save_videos_grid(np.asarray(video), args.output, fps=8,
+    save_videos_grid(np.asarray(video), args.output, fps=args.fps,
                      color_transfer_post_process=args.color_transfer)
     print("saved", args.output, video.shape)
 

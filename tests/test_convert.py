@@ -627,6 +627,40 @@ def test_load_pipeline_quant_modes(rng, tmp_path):
         load_pipeline(str(root), "t2v", int8_linears=True, int4_weights=True)
 
 
+def test_transformer_path_override(rng, tmp_path):
+    """load_pipeline(transformer_path=...) overlays a component checkpoint
+    on the base dir (reference predict_t2v.py:110-119 strict=False
+    semantics: present keys override, missing keys keep base weights)."""
+    from safetensors.numpy import save_file
+
+    from easyanimate_tpu.loader import load_pipeline
+
+    root = tmp_path / "model"
+    _write_tiny_model_dir(root, rng)
+    base = load_pipeline(str(root), "t2v", dtype="float32")
+
+    # overlay one tensor, scaled; everything else absent from the file
+    from easyanimate_tpu.models.convert import load_safetensors
+    sd = load_safetensors(
+        str(root / "transformer" / "diffusion_pytorch_model.safetensors"))
+    key = next(k for k in sd if k.endswith("weight") and sd[k].ndim == 2)
+    save_file({key: 2.0 * sd[key]}, str(tmp_path / "override.safetensors"))
+
+    over = load_pipeline(str(root), "t2v", dtype="float32",
+                         transformer_path=str(tmp_path /
+                                              "override.safetensors"))
+    bflat = flax.traverse_util.flatten_dict(base.transformer_params, sep="/")
+    oflat = flax.traverse_util.flatten_dict(over.transformer_params, sep="/")
+    changed = [k for k in bflat
+               if np.asarray(bflat[k]).shape == np.asarray(oflat[k]).shape
+               and not np.array_equal(np.asarray(bflat[k]),
+                                      np.asarray(oflat[k]))]
+    # exactly the overlaid tensor differs (2x scale), everything else kept
+    assert len(changed) == 1, changed
+    assert np.allclose(np.asarray(oflat[changed[0]]),
+                       2.0 * np.asarray(bflat[changed[0]]))
+
+
 def test_hot_swap_preserves_serving_mode(rng, tmp_path):
     """Controller checkpoint hot-swap keeps the live pipeline's quant mode,
     including W4A16 vs W4A8 (a W4A16 "int4" pipeline must not silently
