@@ -30,35 +30,19 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--guidance_scale", type=float, default=6.0)
     ap.add_argument("--seed", type=int, default=43)
-    ap.add_argument("--fp8", action="store_true")
-    ap.add_argument("--int8", action="store_true",
-                    help="W8A8 int8 block linears")
-    ap.add_argument("--int4", action="store_true",
-                    help="packed int4 block linears (memory mode)")
-    ap.add_argument("--int4_compute", default="int8",
-                    choices=["int8", "bf16"])
-    ap.add_argument("--teacache", type=float, default=None,
-                    help="TeaCache rel-L1 threshold (e.g. 0.08)")
-    ap.add_argument("--cfg_skip", type=float, default=None,
-                    help="last RATIO of the steps cond-only")
-    ap.add_argument("--sampler", default=None,
-                    help="Flow | Euler | 'Euler A' | DPM++ | PNDM | DDIM")
+    from examples.common import add_common_flags, load_pipe_from_args
+
+    add_common_flags(ap)
     ap.add_argument("--partial_video_length", type=int, default=None,
                     help="ultra-long video: sliding-window segment length "
                          "(reference predict_i2v.py partial_video_length); "
                          "--video_length becomes the TOTAL length")
     ap.add_argument("--overlap_video_length", type=int, default=4,
                     help="blend overlap between segments")
-    ap.add_argument("--transformer_path", default=None)
-    ap.add_argument("--vae_path", default=None)
-    ap.add_argument("--fps", type=int, default=8)
-    ap.add_argument("--color_transfer", action="store_true",
-                    help="pin per-frame color stats to frame 0 on export")
     ap.add_argument("--text_encoder_path", default=None)
     ap.add_argument("--output", default="samples/i2v.mp4")
     args = ap.parse_args()
 
-    from easyanimate_tpu.loader import load_pipeline
     from easyanimate_tpu.utils.media import (
         get_image_to_video_latent,
         get_video_to_video_latent,
@@ -66,15 +50,7 @@ def main():
     )
     from examples.predict_t2v import _encode_text
 
-    pipe = load_pipeline(args.model_path, "inpaint", fp8_weights=args.fp8,
-                         int8_linears=args.int8, int4_weights=args.int4,
-                         int4_compute=args.int4_compute,
-                         transformer_path=args.transformer_path,
-                         vae_path=args.vae_path)
-    if args.sampler:
-        from easyanimate_tpu.pipeline import make_scheduler
-
-        pipe.scheduler = make_scheduler(args.sampler, base=pipe.scheduler)
+    pipe = load_pipe_from_args(args, "inpaint")
     pos, neg = _encode_text(args, pipe.mmdit_cfg.text_embed_dim)
 
     if args.partial_video_length:

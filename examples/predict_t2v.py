@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    from examples.common import add_common_flags, load_pipe_from_args
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", default=None)
     ap.add_argument("--prompt", default="A cat walks on the grass.")
@@ -29,52 +31,18 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--guidance_scale", type=float, default=6.0)
     ap.add_argument("--seed", type=int, default=43)
-    ap.add_argument("--fp8", action="store_true",
-                    help="store transformer weights as fp8-e4m3")
-    ap.add_argument("--int8", action="store_true",
-                    help="W8A8 int8 block linears (1.5x MXU; ops/quant.py)")
-    ap.add_argument("--int4", action="store_true",
-                    help="packed int4 block linears (memory mode, ~6.7 GB "
-                         "resident; compute per --int4_compute)")
-    ap.add_argument("--int4_compute", default="int8",
-                    choices=["int8", "bf16"],
-                    help="matmul path for --int4: int8 = W4A8 (default), "
-                         "bf16 = W4A16 dequant")
-    ap.add_argument("--cfg_skip", type=float, default=None,
-                    help="run the last RATIO of the steps cond-only "
-                         "(deterministic ~ratio/2 denoise saving)")
-    ap.add_argument("--teacache", type=float, default=None,
-                    help="TeaCache rel-L1 threshold (e.g. 0.1)")
-    ap.add_argument("--sampler", default=None,
-                    help="Flow | Euler | 'Euler A' | DPM++ | PNDM | DDIM "
-                         "(reference sampler_dropdown)")
+    add_common_flags(ap)
     ap.add_argument("--lora", default=None)
     ap.add_argument("--lora_scale", type=float, default=1.0)
     ap.add_argument("--text_encoder_path", default=None,
                     help="Qwen2-VL dir for on-TPU text encoding")
-    ap.add_argument("--transformer_path", default=None,
-                    help="safetensors overlay for the transformer "
-                         "(reference predict_t2v.py transformer_path)")
-    ap.add_argument("--vae_path", default=None,
-                    help="safetensors overlay for the VAE")
-    ap.add_argument("--fps", type=int, default=8)
-    ap.add_argument("--color_transfer", action="store_true",
-                    help="pin per-frame color stats to frame 0 on export "
-                         "(reference save_videos_grid flag)")
     ap.add_argument("--output", default="samples/t2v.mp4")
     args = ap.parse_args()
 
     from easyanimate_tpu.utils.media import save_videos_grid
 
     if args.model_path:
-        from easyanimate_tpu.loader import load_pipeline
-
-        pipe = load_pipeline(args.model_path, "t2v", fp8_weights=args.fp8,
-                             int8_linears=args.int8,
-                             int4_weights=args.int4,
-                             int4_compute=args.int4_compute,
-                             transformer_path=args.transformer_path,
-                             vae_path=args.vae_path)
+        pipe = load_pipe_from_args(args, "t2v")
         if args.lora:
             from easyanimate_tpu.training.lora import load_lora, merge_lora
 
@@ -90,11 +58,11 @@ def main():
         args.video_length = 5
         args.steps = 4
         pos, neg = _random_text(text_dim)
+        if args.sampler:  # the loader path already switched
+            from easyanimate_tpu.pipeline import make_scheduler
 
-    if args.sampler:
-        from easyanimate_tpu.pipeline import make_scheduler
-
-        pipe.scheduler = make_scheduler(args.sampler, base=pipe.scheduler)
+            pipe.scheduler = make_scheduler(args.sampler,
+                                            base=pipe.scheduler)
     video = pipe(
         pos, neg, height=args.height, width=args.width,
         video_length=args.video_length, num_inference_steps=args.steps,

@@ -28,19 +28,20 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--guidance_scale", type=float, default=6.0)
     ap.add_argument("--seed", type=int, default=43)
-    ap.add_argument("--fp8", action="store_true")
+    from examples.common import add_common_flags, load_pipe_from_args
+
+    add_common_flags(ap)
     ap.add_argument("--text_encoder_path", default=None)
     ap.add_argument("--output", default="samples/v2v.mp4")
     args = ap.parse_args()
 
-    from easyanimate_tpu.loader import load_pipeline
     from easyanimate_tpu.utils.media import (
         get_video_to_video_latent,
         save_videos_grid,
     )
     from examples.predict_t2v import _encode_text
 
-    pipe = load_pipeline(args.model_path, "inpaint", fp8_weights=args.fp8)
+    pipe = load_pipe_from_args(args, "inpaint")
     pos, neg = _encode_text(args, pipe.mmdit_cfg.text_embed_dim)
 
     # (1, C, T, H, W) in [0,1]; a full-ones mask regenerates every pixel but
@@ -57,8 +58,11 @@ def main():
                num_inference_steps=args.steps,
                guidance_scale=args.guidance_scale,
                strength=args.denoise_strength,
-               rng=jax.random.PRNGKey(args.seed))
-    save_videos_grid(np.asarray(out), args.output, fps=8)
+               rng=jax.random.PRNGKey(args.seed),
+               teacache_threshold=args.teacache,
+               cfg_skip_ratio=args.cfg_skip)
+    save_videos_grid(np.asarray(out), args.output, fps=args.fps,
+                     color_transfer_post_process=args.color_transfer)
     print("saved", args.output)
 
 

@@ -32,13 +32,14 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--guidance_scale", type=float, default=6.0)
     ap.add_argument("--seed", type=int, default=43)
-    ap.add_argument("--fp8", action="store_true")
+    from examples.common import add_common_flags, load_pipe_from_args
+
+    add_common_flags(ap)
     ap.add_argument("--text_encoder_path", default=None)
     ap.add_argument("--output", default="samples/control.mp4")
     args = ap.parse_args()
 
     from easyanimate_tpu.data.camera import plucker_from_file
-    from easyanimate_tpu.loader import load_pipeline
     from easyanimate_tpu.utils.media import (
         _load_and_resize,
         get_video_to_video_latent,
@@ -46,7 +47,7 @@ def main():
     )
     from examples.predict_t2v import _encode_text
 
-    pipe = load_pipeline(args.model_path, "control", fp8_weights=args.fp8)
+    pipe = load_pipe_from_args(args, "control")
     pos, neg = _encode_text(args, pipe.mmdit_cfg.text_embed_dim)
 
     kw = {}
@@ -67,8 +68,11 @@ def main():
     out = pipe(pos, neg, height=args.height, width=args.width,
                video_length=args.video_length, num_inference_steps=args.steps,
                guidance_scale=args.guidance_scale,
-               rng=jax.random.PRNGKey(args.seed), **kw)
-    save_videos_grid(np.asarray(out), args.output, fps=8)
+               rng=jax.random.PRNGKey(args.seed),
+               teacache_threshold=args.teacache,
+               cfg_skip_ratio=args.cfg_skip, **kw)
+    save_videos_grid(np.asarray(out), args.output, fps=args.fps,
+                     color_transfer_post_process=args.color_transfer)
     print("saved", args.output)
 
 
