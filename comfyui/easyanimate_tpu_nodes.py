@@ -20,18 +20,30 @@ class LoadEasyAnimateTPUModel:
     RETURN_TYPES = ("EASYANIMATE_TPU_PIPE",)
     FUNCTION = "load"
 
+    #: serving mode -> load_pipeline kwargs (the reference node's
+    #: GPU_memory_mode analog: precision/quantization of the resident model)
+    SERVING_MODES = {
+        "bf16": {},
+        "fp8": {"fp8_weights": True},
+        "int8": {"int8_linears": True},
+        "fp8+int8": {"fp8_weights": True, "int8_linears": True},
+        "int4_w4a8": {"int4_weights": True, "int4_compute": "int8"},
+        "int4_w4a16": {"int4_weights": True, "int4_compute": "bf16"},
+    }
+
     @classmethod
     def INPUT_TYPES(cls):
         return {"required": {
             "model_path": ("STRING", {"default": ""}),
             "pipeline_type": (["t2v", "inpaint", "control"],),
-            "fp8": ("BOOLEAN", {"default": True}),
+            "serving_mode": (list(cls.SERVING_MODES), {"default": "fp8"}),
         }}
 
-    def load(self, model_path, pipeline_type, fp8):
+    def load(self, model_path, pipeline_type, serving_mode):
         from easyanimate_tpu.loader import load_pipeline
 
-        return (load_pipeline(model_path, pipeline_type, fp8_weights=fp8),)
+        return (load_pipeline(model_path, pipeline_type,
+                              **self.SERVING_MODES[serving_mode]),)
 
 
 class LoadEasyAnimateTPULora:
@@ -73,18 +85,28 @@ class EasyAnimateTPUSampler:
             "steps": ("INT", {"default": 50}),
             "cfg": ("FLOAT", {"default": 6.0}),
             "seed": ("INT", {"default": 43}),
+            "scheduler": (["Flow", "Euler", "Euler A", "DPM++", "PNDM",
+                           "DDIM"], {"default": "Flow"}),
             "teacache_threshold": ("FLOAT", {"default": 0.0}),
+            "cfg_skip_ratio": ("FLOAT", {"default": 0.0}),
         }}
 
     def sample(self, pipe, prompt_embeds, negative_embeds, width, height,
-               video_length, steps, cfg, seed, teacache_threshold):
+               video_length, steps, cfg, seed, scheduler="Flow",
+               teacache_threshold=0.0, cfg_skip_ratio=0.0):
         import jax
 
+        from easyanimate_tpu.pipeline import make_scheduler
+
+        # per-call scheduler selection (reference comfyui_nodes.py:443,478:
+        # the node's dropdown always supplies a value)
+        pipe.scheduler = make_scheduler(scheduler, base=pipe.scheduler)
         video = pipe(
             prompt_embeds, negative_embeds, height=height, width=width,
             video_length=video_length, num_inference_steps=steps,
             guidance_scale=cfg, rng=jax.random.PRNGKey(seed),
-            teacache_threshold=teacache_threshold or None)
+            teacache_threshold=teacache_threshold or None,
+            cfg_skip_ratio=cfg_skip_ratio or None)
         # ComfyUI IMAGE: (T, H, W, C) float in [0, 1]
         return (np.transpose(np.asarray(video)[0], (1, 2, 3, 0)),)
 

@@ -121,6 +121,13 @@ def test_comfyui_mappings_importable():
         "EasyAnimateTPUSampler", "EasyAnimateTPUTextBox",
         "CreateTrajectoryTPU", "CameraBasicTPU", "CameraJoinTPU",
         "CameraCombineTPU", "CameraTrajectoryTPU"}
+    # sampler node exposes the serving levers (reference comfyui_nodes.py
+    # scheduler dropdown :443; TeaCache toggle)
+    sampler_in = m.EasyAnimateTPUSampler.INPUT_TYPES()["required"]
+    assert "scheduler" in sampler_in and "cfg_skip_ratio" in sampler_in
+    assert "Euler A" in sampler_in["scheduler"][0]
+    load_in = m.LoadEasyAnimateTPUModel.INPUT_TYPES()["required"]
+    assert "int4_w4a8" in load_in["serving_mode"][0]
     # camera trajectory: basic pan then join doubles the length
     basic = m.NODE_CLASS_MAPPINGS["CameraBasicTPU"]()
     rt = basic.run("Pan Up", 1.0, 8)[0]
