@@ -56,6 +56,11 @@ def infer_forward(controller, payload: dict) -> dict:
         seed=int(payload.get("seed_textbox", 43)),
         generation_method=payload.get("generation_method", "Video Generation"),
     )
+    if payload.get("partial_video_length"):
+        # Long Video Generation sliders (reference ui.py:823-827)
+        kwargs["partial_video_length"] = int(payload["partial_video_length"])
+        kwargs["overlap_video_length"] = int(
+            payload.get("overlap_video_length", 4))
     if payload.get("sampler_dropdown"):
         kwargs["sampler"] = payload["sampler_dropdown"]
     if payload.get("denoise_strength") is not None:

@@ -179,6 +179,31 @@ class EasyAnimateController:
         rng = jax.random.PRNGKey(seed)
         if generation_method == "Image Generation":
             video_length = 1
+        elif generation_method == "Long Video Generation":
+            # sliding-window ultra-long video (reference ui.py:449,485-546;
+            # video_length is the TOTAL length). V2V does not support it
+            # there either (ui.py:487).
+            if source_video is not None:
+                raise ValueError(
+                    "Video to Video does not support Long Video Generation")
+            assert isinstance(self.pipeline, EasyAnimateInpaintPipeline), \
+                "Long Video Generation needs an inpaint pipeline"
+            start = None
+            if start_image is not None:
+                import cv2
+
+                start = cv2.resize(
+                    np.asarray(start_image, np.float32),
+                    (width, height)).transpose(2, 0, 1)
+            return generate_long_video(
+                self.pipeline, pos, neg, total_length=video_length,
+                partial_video_length=int(kw.pop("partial_video_length", 49)),
+                overlap_video_length=int(kw.pop("overlap_video_length", 4)),
+                height=height, width=width, start_image=start, rng=rng,
+                num_inference_steps=sample_steps, guidance_scale=cfg_scale,
+                **kw)
+        kw.pop("partial_video_length", None)
+        kw.pop("overlap_video_length", None)
         if start_image is None and source_video is None:
             return self.pipeline(
                 pos, neg, height=height, width=width,

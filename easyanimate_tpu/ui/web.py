@@ -77,7 +77,12 @@ INDEX_HTML = """<!DOCTYPE html>
         <select id="method">
           <option>Video Generation</option>
           <option>Image Generation</option>
+          <option>Long Video Generation</option>
         </select></div>
+      <div><label>Window (long video)</label>
+        <input type="number" id="partial" value="49" step="4"></div>
+      <div><label>Overlap</label>
+        <input type="number" id="overlap" value="4" step="1"></div>
       <div><label>Sampler</label>
         <select id="sampler">
           <option value="">(model default)</option>
@@ -191,6 +196,10 @@ async function generate() {
     cfg_scale_slider: +$("cfg").value, seed_textbox: +$("seed").value,
   };
   if ($("sampler").value) payload.sampler_dropdown = $("sampler").value;
+  if ($("method").value === "Long Video Generation") {
+    payload.partial_video_length = +$("partial").value;
+    payload.overlap_video_length = +$("overlap").value;
+  }
   if (+$("cfgskip").value > 0) payload.cfg_skip_ratio = +$("cfgskip").value;
   if (images.start) payload.start_image = images.start;
   if (images.end) payload.end_image = images.end;

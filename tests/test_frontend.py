@@ -81,6 +81,32 @@ def test_infer_forward_protocol():
     assert ctl.last["prompt"] == "a cat"
 
 
+def test_long_video_generation_method(rng):
+    """generation_method='Long Video Generation' dispatches the controller
+    to the sliding-window path (reference ui.py:449,822): length_slider is
+    the TOTAL length, partial/overlap arrive as request fields."""
+    pipe, cfg = _tiny_inpaint_pipe()
+
+    def encode_text(prompts):
+        return {"text": jnp.ones((len(prompts), 6, cfg.text_embed_dim),
+                                 jnp.float32) * 0.01}
+
+    ctl = EasyAnimateController(pipeline=pipe, encode_text=encode_text)
+    out = infer_forward(ctl, {
+        "prompt_textbox": "a cat", "length_slider": 8, "width_slider": 16,
+        "height_slider": 16, "sample_step_slider": 2, "cfg_scale_slider": 2.0,
+        "generation_method": "Long Video Generation",
+        "partial_video_length": 5, "overlap_video_length": 2})
+    assert out["message"] == "Success"
+    assert len(out["base64_encoding"]) > 0
+    # V2V + long video is refused like the reference (ui.py:487)
+    with pytest.raises(ValueError, match="Long Video"):
+        ctl.generate(prompt="x", video_length=8, width=16, height=16,
+                     sample_steps=2, cfg_scale=2.0,
+                     generation_method="Long Video Generation",
+                     source_video=np.zeros((1, 3, 5, 16, 16), np.float32))
+
+
 def test_http_server_roundtrip():
     ctl = _FakeController()
     srv = EasyAnimateAPIServer(ctl)
