@@ -83,6 +83,10 @@ def _safe_scan_chunk(args, use_swa: bool, int8: bool, height, width,
             else cfg_split):
         est *= 1.1  # two half-batch programs per segment, slight overhead
     if args.scan_chunk == 0:  # explicit "one unchunked scan"
+        print("# WARNING: --scan_chunk 0 runs the whole denoise as ONE "
+              "device program; runtimes past the ~60-75 s TPU execution "
+              "deadline kill the tunneled worker (CLAUDE.md). Estimated "
+              f"{est * args.steps:.0f} s.", file=sys.stderr)
         return 0
     return max(1, min(args.scan_chunk, int(50.0 / est)))
 

@@ -98,9 +98,14 @@ class EasyAnimateTPUSampler:
 
         from easyanimate_tpu.pipeline import make_scheduler
 
-        # per-call scheduler selection (reference comfyui_nodes.py:443,478:
-        # the node's dropdown always supplies a value)
-        pipe.scheduler = make_scheduler(scheduler, base=pipe.scheduler)
+        # per-call scheduler selection (reference comfyui_nodes.py:443,478),
+        # always rebuilt from the MODEL's scheduler so switching away from
+        # Flow and back does not lose shift/use_dynamic_shifting config
+        default = getattr(pipe, "_default_scheduler", None)
+        if default is None:
+            default = pipe.scheduler
+            pipe._default_scheduler = default
+        pipe.scheduler = make_scheduler(scheduler, base=default)
         video = pipe(
             prompt_embeds, negative_embeds, height=height, width=width,
             video_length=video_length, num_inference_steps=steps,

@@ -10,6 +10,7 @@ The gradio front-end is optional (not present in this image); the controller
 is UI-agnostic and also backs the HTTP API (api/server.py).
 """
 import dataclasses
+import threading
 from typing import Callable, Optional
 
 import jax
@@ -39,6 +40,11 @@ class EasyAnimateController:
     #: switch must not leak across requests)
     _default_scheduler: Optional[object] = dataclasses.field(
         default=None, init=False)
+    #: generate() serializes: the API server is threaded, but requests
+    #: mutate pipeline.scheduler and share one accelerator (two concurrent
+    #: device programs would also break the single-chip TPU runtime)
+    _gen_lock: object = dataclasses.field(
+        default_factory=threading.Lock, init=False)
 
     # -- model management ---------------------------------------------------
 
@@ -49,11 +55,18 @@ class EasyAnimateController:
 
         tcfg = getattr(self.pipeline.transformer, "cfg", None)
         quant = getattr(tcfg, "linear_quant", None)
+        # fp8 storage is a property of the loaded params, not the config —
+        # detect it so an fp8-served 12B does not come back as bf16 (2x
+        # resident memory) after a swap
+        fp8 = any(
+            getattr(leaf, "dtype", None) == jnp.float8_e4m3fn
+            for leaf in jax.tree.leaves(self.pipeline.transformer_params))
         new = load_pipeline(
             path,
             pipeline_type="inpaint"
             if isinstance(self.pipeline, EasyAnimateInpaintPipeline)
             else "t2v",
+            fp8_weights=fp8,
             int8_linears=quant == "int8",
             int4_weights=quant in ("int4", "w4a8"),
             # W4A16 ("int4") must not silently become W4A8 across a swap
@@ -141,7 +154,14 @@ class EasyAnimateController:
             return pos[0], neg[0], {}
         return pos, neg, {}
 
-    def generate(
+    def generate(self, *args, **kwargs) -> np.ndarray:
+        """Serialized entry point: the API server is threaded, but requests
+        mutate pipeline.scheduler and share one accelerator, so generations
+        run one at a time."""
+        with self._gen_lock:
+            return self._generate(*args, **kwargs)
+
+    def _generate(
         self,
         prompt: str = "",
         negative_prompt: str = "",
@@ -188,18 +208,22 @@ class EasyAnimateController:
                     "Video to Video does not support Long Video Generation")
             assert isinstance(self.pipeline, EasyAnimateInpaintPipeline), \
                 "Long Video Generation needs an inpaint pipeline"
-            start = None
-            if start_image is not None:
-                import cv2
+            from ..utils.media import _load_and_resize
 
-                start = cv2.resize(
-                    np.asarray(start_image, np.float32),
-                    (width, height)).transpose(2, 0, 1)
+            def frame(img):
+                # one scale convention for every image input (path / PIL /
+                # uint8 / [0,1] float): (H, W, 3) [0,1] -> (3, H, W)
+                if img is None:
+                    return None
+                return _load_and_resize(
+                    img, (height, width)).transpose(2, 0, 1)
+
             return generate_long_video(
                 self.pipeline, pos, neg, total_length=video_length,
                 partial_video_length=int(kw.pop("partial_video_length", 49)),
                 overlap_video_length=int(kw.pop("overlap_video_length", 4)),
-                height=height, width=width, start_image=start, rng=rng,
+                height=height, width=width, start_image=frame(start_image),
+                end_image=frame(end_image), rng=rng,
                 num_inference_steps=sample_steps, guidance_scale=cfg_scale,
                 **kw)
         kw.pop("partial_video_length", None)
@@ -239,11 +263,24 @@ def generate_long_video(
     height: int = 384,
     width: int = 672,
     start_image: Optional[np.ndarray] = None,
+    end_image: Optional[np.ndarray] = None,
     rng: Optional[jax.Array] = None,
     **pipe_kw,
 ) -> np.ndarray:
     """Sliding-window long-video generation with linear overlap blending
-    (reference ui.py:485-546). Returns (1, C, total, H, W) in [0, 1]."""
+    (reference ui.py:485-546). start_image/end_image are (3, H, W) [0, 1]
+    frames conditioning the first / final window (ref ui.py:505-507).
+    Returns (1, C, total, H, W) in [0, 1]."""
+    # these can arrive from untrusted HTTP fields: a bad overlap would
+    # otherwise loop forever (windows that never add net frames) or crash
+    # the blend
+    norm_partial = ((max(partial_video_length - 1, 1)) // 4) * 4 + 1
+    if total_length < 1:
+        raise ValueError(f"total_length must be >= 1, got {total_length}")
+    if not 0 <= overlap_video_length < norm_partial:
+        raise ValueError(
+            f"need 0 <= overlap_video_length < partial_video_length "
+            f"(4k+1-normalized {norm_partial}), got {overlap_video_length}")
     if rng is None:
         rng = jax.random.PRNGKey(0)
     init_frames = 0
@@ -255,6 +292,8 @@ def generate_long_video(
             remaining += overlap_video_length  # regenerate the blend region
         this_len = min(partial_video_length, remaining)
         this_len = ((max(this_len - 1, 0)) // 4) * 4 + 1  # 4k+1 constraint
+        if out is not None and this_len <= overlap_video_length:
+            break  # tail window would add no net frames (< 4 left over)
         if this_len <= 1 and out is not None:
             break
         video = np.zeros((1, 3, this_len, height, width), np.float32)
@@ -266,6 +305,13 @@ def generate_long_video(
         elif start_image is not None:
             video[0, :, 0] = start_image
             mask[:, :, 0] = 0.0
+        if end_image is not None:
+            # condition the window that covers the final output frame
+            start_pos = 0 if out is None else init_frames - overlap_video_length
+            idx = total_length - 1 - start_pos
+            if 0 <= idx < this_len:
+                video[0, :, idx] = end_image
+                mask[:, :, idx] = 0.0
         rng, sub = jax.random.split(rng)
         sample = pipeline(
             prompt_embeds, negative_prompt_embeds,

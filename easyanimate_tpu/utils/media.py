@@ -82,10 +82,13 @@ def _load_and_resize(image, size: Tuple[int, int]) -> np.ndarray:
     if not isinstance(image, np.ndarray):
         image = image.convert("RGB").resize((size[1], size[0]), Image.LANCZOS)
         return np.asarray(image, np.float32) / 255.0
-    from PIL import Image as PILImage
-
-    img = PILImage.fromarray(np.asarray(image, np.uint8))
-    img = img.resize((size[1], size[0]), PILImage.LANCZOS)
+    image = np.asarray(image)
+    if np.issubdtype(image.dtype, np.floating):
+        # float arrays are [0, 1] (e.g. decode_image_b64); a plain uint8
+        # cast would truncate 0.x to 0 and condition on a black frame
+        image = np.clip(np.round(image * 255.0), 0, 255)
+    img = Image.fromarray(image.astype(np.uint8))
+    img = img.resize((size[1], size[0]), Image.LANCZOS)
     return np.asarray(img, np.float32) / 255.0
 
 

@@ -54,22 +54,27 @@ def main():
     pos, neg = _encode_text(args, pipe.mmdit_cfg.text_embed_dim)
 
     if args.partial_video_length:
-        from PIL import Image
+        if args.video:
+            # same refusal as the reference UI (ui.py:487)
+            raise SystemExit(
+                "Video to Video does not support Long Video Generation")
 
         from easyanimate_tpu.ui.controller import generate_long_video
+        from easyanimate_tpu.utils.media import _load_and_resize
 
-        start = None
-        if args.start_image:
-            img = Image.open(args.start_image).convert("RGB").resize(
-                (args.width, args.height))
-            # (H, W, 3) -> (3, H, W): generate_long_video writes the frame
-            # into a channels-first buffer
-            start = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+        def frame(path):
+            # (H, W, 3) [0,1] -> (3, H, W): generate_long_video writes
+            # frames into a channels-first buffer
+            return _load_and_resize(
+                path, (args.height, args.width)).transpose(2, 0, 1)
+
         out = generate_long_video(
             pipe, pos, neg, total_length=args.video_length,
             partial_video_length=args.partial_video_length,
             overlap_video_length=args.overlap_video_length,
-            height=args.height, width=args.width, start_image=start,
+            height=args.height, width=args.width,
+            start_image=frame(args.start_image) if args.start_image else None,
+            end_image=frame(args.end_image) if args.end_image else None,
             rng=jax.random.PRNGKey(args.seed),
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,

@@ -681,3 +681,14 @@ def test_hot_swap_preserves_serving_mode(rng, tmp_path):
         ctl = EasyAnimateController(pipeline=pipe)
         ctl.update_diffusion_transformer(str(root))
         assert ctl.pipeline.transformer.cfg.linear_quant == expect, kwargs
+
+    # fp8 storage survives too (an fp8-served 12B must not come back bf16)
+    def has_fp8(p):
+        return any(getattr(x, "dtype", None) == jnp.float8_e4m3fn
+                   for x in jax.tree.leaves(p.transformer_params))
+
+    pipe = load_pipeline(str(root), "t2v", fp8_weights=True)
+    assert has_fp8(pipe)
+    ctl = EasyAnimateController(pipeline=pipe)
+    ctl.update_diffusion_transformer(str(root))
+    assert has_fp8(ctl.pipeline)

@@ -107,6 +107,43 @@ def test_long_video_generation_method(rng):
                      source_video=np.zeros((1, 3, 5, 16, 16), np.float32))
 
 
+def test_long_video_validation_and_end_image(rng):
+    """Bad overlap values (from untrusted HTTP fields) raise instead of
+    looping forever; end_image conditions the final window (ref
+    ui.py:505-507)."""
+    pipe, cfg = _tiny_inpaint_pipe()
+    pos = jnp.asarray(
+        rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    for bad in (5, 6, -1):
+        with pytest.raises(ValueError, match="overlap"):
+            generate_long_video(pipe, pos, neg, total_length=20,
+                                partial_video_length=5,
+                                overlap_video_length=bad,
+                                height=16, width=16, num_inference_steps=2,
+                                guidance_scale=2.0)
+    end = np.random.RandomState(0).rand(3, 16, 16).astype(np.float32)
+    out = generate_long_video(pipe, pos, neg, total_length=8,
+                              partial_video_length=5, overlap_video_length=2,
+                              height=16, width=16, num_inference_steps=2,
+                              guidance_scale=2.0, end_image=end)
+    assert out.shape == (1, 3, 8, 16, 16) and np.isfinite(out).all()
+
+
+def test_load_and_resize_float_input():
+    """[0,1] float arrays (decode_image_b64 output) must not be truncated
+    to a black frame by a uint8 cast."""
+    from easyanimate_tpu.utils.media import _load_and_resize
+
+    img = np.full((20, 20, 3), 0.5, np.float32)
+    out = _load_and_resize(img, (16, 16))
+    assert out.shape == (16, 16, 3)
+    assert abs(float(out.mean()) - 0.5) < 0.01
+    # uint8 input unchanged
+    out8 = _load_and_resize((img * 255).astype(np.uint8), (16, 16))
+    assert abs(float(out8.mean()) - 0.5) < 0.01
+
+
 def test_http_server_roundtrip():
     ctl = _FakeController()
     srv = EasyAnimateAPIServer(ctl)
