@@ -154,7 +154,16 @@ class StreamQKV(nn.Module):
         perm64 = deinterleave_perm(self.head_dim)
         perm = np.concatenate(
             [h * self.head_dim + perm64 for h in range(self.num_heads)])
-        heads = lambda a: a.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+        def heads(a):
+            # Guide GSPMD through the head split: the projection output has
+            # its feature dim tp-sharded (column-parallel kernel) and the
+            # token axis sp-sharded; without an explicit constraint the
+            # partitioner cannot propagate that through the reshape and
+            # falls back to full rematerialization (replicate + re-shard).
+            from ..parallel.context import sp_constraint
+            a = a.reshape(b, s, self.num_heads, self.head_dim)
+            a = sp_constraint(a, ("dp", "sp", "tp", None))
+            return a.transpose(0, 2, 1, 3)
         q = heads(PermutedDense(inner, perm, dtype=self.dtype,
                                 quant=self.quant, name="to_q")(x))
         k = heads(PermutedDense(inner, perm, dtype=self.dtype,
@@ -246,8 +255,16 @@ class MMDiTBlock(nn.Module):
             qv = apply_rotary_emb_split(qv, cos[:, ::2], sin[:, ::2])
             kv = apply_rotary_emb_split(kv, cos[:, ::2], sin[:, ::2])
 
-        merge = lambda a: a.transpose(0, 2, 1, 3).reshape(
-            a.shape[0], a.shape[2], self.num_heads * self.head_dim)
+        def merge(a):
+            # Mirror of StreamQKV.heads: pin (seq@sp, heads@tp) through the
+            # transpose and keep the merged feature dim tp-sharded so the
+            # output projection runs row-parallel (contraction dim sharded,
+            # GSPMD inserts the all-reduce) instead of gathering heads.
+            a = sp_constraint(a.transpose(0, 2, 1, 3),
+                              ("dp", "sp", "tp", None))
+            a = a.reshape(a.shape[0], a.shape[1],
+                          self.num_heads * self.head_dim)
+            return sp_constraint(a, ("dp", "sp", "tp"))
         if self.is_swa:
             # stream-separate SWA: skips the full-sequence q/k/v concats
             # and the output re-split the joint form would pay per layer

@@ -425,6 +425,20 @@ _AXIS_ORDERS = (
 )
 
 
+def _grid_constraint(grid, sharded_axis):
+    """Under an sp scope, pin the un-flattened (b, nh, a0, a1, a2, d) grid:
+    heads on 'tp', the grid axis holding the frame dim on 'sp'. Keeping the
+    sharded axis attached to the SAME logical dim on both sides of the
+    direction transpose makes it a zero-communication layout change; the
+    one real reshard then happens at the head-parallel shard_map boundary
+    (which gathers tokens per head shard anyway) instead of the partitioner
+    replicating the full grid around every transpose."""
+    from ..parallel.context import sp_constraint
+    spec = [None] * 6
+    spec[0], spec[1], spec[2 + sharded_axis] = "dp", "tp", "sp"
+    return sp_constraint(grid, tuple(spec))
+
+
 def _permute_tokens(x, f, h, w, order, inverse=False):
     """x [B, Hd, f*h*w, D] -> tokens reordered by the given (f,h,w) axis
     permutation."""
@@ -433,15 +447,18 @@ def _permute_tokens(x, f, h, w, order, inverse=False):
     b, nh, s, d = x.shape
     sizes = (f, h, w)
     if not inverse:
-        grid = x.reshape(b, nh, f, h, w, d)
+        grid = _grid_constraint(x.reshape(b, nh, f, h, w, d), 0)
         grid = grid.transpose(0, 1, *(2 + a for a in order), 5)
+        grid = _grid_constraint(grid, order.index(0))
     else:
         # tokens arrive in permuted order: dims are sizes[order[i]]
         grid = x.reshape(b, nh, *(sizes[a] for a in order), d)
+        grid = _grid_constraint(grid, order.index(0))
         inv = [0] * 3
         for pos, a in enumerate(order):
             inv[a] = pos
         grid = grid.transpose(0, 1, *(2 + p for p in inv), 5)
+        grid = _grid_constraint(grid, 0)
     return grid.reshape(b, nh, s, d)
 
 
