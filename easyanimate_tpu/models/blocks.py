@@ -23,6 +23,7 @@ from ..ops.attention import dispatch_attention
 from ..ops.norms import fp32_layer_norm
 from ..ops.rope import apply_rotary_emb_split, deinterleave_perm
 from ..ops.swa import swa_attention_streams
+from ..parallel.context import sp_constraint
 
 
 class LayerNormZero(nn.Module):
@@ -160,7 +161,6 @@ class StreamQKV(nn.Module):
             # token axis sp-sharded; without an explicit constraint the
             # partitioner cannot propagate that through the reshape and
             # falls back to full rematerialization (replicate + re-shard).
-            from ..parallel.context import sp_constraint
             a = a.reshape(b, s, self.num_heads, self.head_dim)
             a = sp_constraint(a, ("dp", "sp", "tp", None))
             return a.transpose(0, 2, 1, 3)
@@ -220,8 +220,6 @@ class MMDiTBlock(nn.Module):
     @nn.compact
     def __call__(self, vid, txt, temb, rope: Optional[Tuple] = None,
                  grid_size: Optional[Tuple[int, int, int]] = None):
-        from ..parallel.context import sp_constraint
-
         b, sv, _ = vid.shape
         st = txt.shape[1]
         # under an active sequence_parallel scope, keep the video token axis
@@ -255,16 +253,20 @@ class MMDiTBlock(nn.Module):
             qv = apply_rotary_emb_split(qv, cos[:, ::2], sin[:, ::2])
             kv = apply_rotary_emb_split(kv, cos[:, ::2], sin[:, ::2])
 
-        def merge(a):
-            # Mirror of StreamQKV.heads: pin (seq@sp, heads@tp) through the
-            # transpose and keep the merged feature dim tp-sharded so the
+        def merge(a, seq_ax):
+            # Mirror of StreamQKV.heads: pin (seq@seq_ax, heads@tp) through
+            # the transpose and keep the merged feature dim tp-sharded so the
             # output projection runs row-parallel (contraction dim sharded,
             # GSPMD inserts the all-reduce) instead of gathering heads.
+            # seq_ax is "sp" for the video stream, None (replicated) for
+            # text: the streams are split BEFORE constraining so GSPMD never
+            # has to slice an sp-sharded joint sequence at the (non
+            # shard-aligned) text boundary (ADVICE r3).
             a = sp_constraint(a.transpose(0, 2, 1, 3),
-                              ("dp", "sp", "tp", None))
+                              ("dp", seq_ax, "tp", None))
             a = a.reshape(a.shape[0], a.shape[1],
                           self.num_heads * self.head_dim)
-            return sp_constraint(a, ("dp", "sp", "tp"))
+            return sp_constraint(a, ("dp", seq_ax, "tp"))
         if self.is_swa:
             # stream-separate SWA: skips the full-sequence q/k/v concats
             # and the output re-split the joint form would pay per layer
@@ -272,14 +274,14 @@ class MMDiTBlock(nn.Module):
             o_t, o_v = swa_attention_streams(
                 qt, kt, vt, qv, kv, vv, num_frames=gf, height=gh, width=gw,
                 impl=self.attn_impl)
-            o_txt, o_vid = merge(o_t), merge(o_v)
+            o_txt, o_vid = merge(o_t, None), merge(o_v, "sp")
         else:
             q = jnp.concatenate([qt, qv], axis=2)
             k = jnp.concatenate([kt, kv], axis=2)
             v = jnp.concatenate([vt, vv], axis=2)
             o = dispatch_attention(q, k, v, impl=self.attn_impl)
-            o = merge(o)
-            o_txt, o_vid = o[:, :st], o[:, st:]
+            o_txt = merge(o[:, :, :st], None)
+            o_vid = merge(o[:, :, st:], "sp")
 
         out_proj = PermutedDense(self.dim, dtype=self.dtype,
                                  quant=self.quant, name="attn1_out")

@@ -20,6 +20,7 @@ import math
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -425,40 +426,68 @@ _AXIS_ORDERS = (
 )
 
 
-def _grid_constraint(grid, sharded_axis):
-    """Under an sp scope, pin the un-flattened (b, nh, a0, a1, a2, d) grid:
-    heads on 'tp', the grid axis holding the frame dim on 'sp'. Keeping the
-    sharded axis attached to the SAME logical dim on both sides of the
-    direction transpose makes it a zero-communication layout change; the
-    one real reshard then happens at the head-parallel shard_map boundary
-    (which gathers tokens per head shard anyway) instead of the partitioner
-    replicating the full grid around every transpose."""
-    from ..parallel.context import sp_constraint
-    spec = [None] * 6
-    spec[0], spec[1], spec[2 + sharded_axis] = "dp", "tp", "sp"
-    return sp_constraint(grid, tuple(spec))
+def _permutation_indices(nh: int, f: int, h: int, w: int):
+    """The 6-direction head-group permutation as gather indices [nh, s].
+
+    idx[hd, p] = source token of permuted position p for head hd;
+    inv[hd, t] = permuted position of token t (idx's argsort — realized as
+    the arange transposed by the INVERSE axis order, so both tables lower
+    to iota/transpose/broadcast HLO instead of a multi-MB literal).
+    Head→group assignment follows torch.tensor_split(x, 6, dim=heads)
+    (reference processor.py:398): the first (nh % 6) groups get the extra
+    head. Gathering with these is bit-identical to the reshape/transpose
+    path (tests/test_swa.py) but head-uniform, so it can run INSIDE a
+    heads-sharded shard_map where tokens are replicated per shard."""
+    s = f * h * w
+    sizes = (f, h, w)
+    ar = jnp.arange(s, dtype=jnp.int32)
+    base, rem = divmod(nh, 6)
+    rows_f, rows_i = [], []
+    for g, order in enumerate(_AXIS_ORDERS):
+        size = base + (1 if g < rem else 0)
+        if size == 0:
+            continue
+        if order is None:
+            fwd = inv = ar
+        else:
+            fwd = ar.reshape(f, h, w).transpose(order).reshape(s)
+            psizes = tuple(sizes[a] for a in order)
+            inv_order = tuple(order.index(i) for i in range(3))
+            inv = ar.reshape(psizes).transpose(inv_order).reshape(s)
+        rows_f.append(jnp.broadcast_to(fwd, (size, s)))
+        rows_i.append(jnp.broadcast_to(inv, (size, s)))
+    return jnp.concatenate(rows_f), jnp.concatenate(rows_i)
 
 
 def _permute_tokens(x, f, h, w, order, inverse=False):
     """x [B, Hd, f*h*w, D] -> tokens reordered by the given (f,h,w) axis
-    permutation."""
+    permutation.
+
+    Deliberately carries NO sharding constraints: under a sequence_parallel
+    scope these permutes sit between the per-head layout pinned at the
+    head_parallel_call shard_map boundary (heads over (tp, sp), tokens
+    replicated per head shard) and blocks.MMDiTBlock.merge's seq@sp pin —
+    and none of the reshapes/transposes here touch the HEAD axis, so GSPMD
+    propagates the head-sharded layout straight through them shard-locally.
+    Pinning token-axis shardings mid-chain instead (round-3 _grid_constraint)
+    forced layout transitions the partitioner can only do by replicating the
+    full grid ("[SPMD] Involuntary full rematerialization", 4 per block on a
+    dp2xsp2xtp2 mesh, MULTICHIP_r03.json); the dryrun now fails on that
+    warning (__graft_entry__.py)."""
     if order is None:
         return x
     b, nh, s, d = x.shape
     sizes = (f, h, w)
     if not inverse:
-        grid = _grid_constraint(x.reshape(b, nh, f, h, w, d), 0)
+        grid = x.reshape(b, nh, f, h, w, d)
         grid = grid.transpose(0, 1, *(2 + a for a in order), 5)
-        grid = _grid_constraint(grid, order.index(0))
     else:
         # tokens arrive in permuted order: dims are sizes[order[i]]
         grid = x.reshape(b, nh, *(sizes[a] for a in order), d)
-        grid = _grid_constraint(grid, order.index(0))
         inv = [0] * 3
         for pos, a in enumerate(order):
             inv[a] = pos
         grid = grid.transpose(0, 1, *(2 + p for p in inv), 5)
-        grid = _grid_constraint(grid, 0)
     return grid.reshape(b, nh, s, d)
 
 
@@ -526,32 +555,69 @@ def swa_attention_streams(
     # the same window so their permuted tokens batch into ONE kernel call.
     # Head split follows torch.tensor_split(q, 6, dim=heads)
     # (processor.py:398): the FIRST (nh % 6) groups carry the extra head.
-    groups = 6
-    base, rem = divmod(nh, groups)
-    off, slices = 0, []
-    for g in range(groups):
-        size = base + (1 if g < rem else 0)
-        slices.append(slice(off, off + size))
-        off += size
-    perm = lambda a, sl, order: _permute_tokens(
-        a[:, sl], num_frames, height, width, order)
-    qq = jnp.concatenate([perm(q_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
-    kk = jnp.concatenate([perm(k_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
-    vvv = jnp.concatenate([perm(v_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
     if use_kernel:
         local_fn = functools.partial(sliding_window_attention, window=window,
                                      interpret=interpret)
     else:
         local_fn = functools.partial(swa_reference, window=window)
-    oo = maybe_head_parallel(local_fn, qq.shape)(qq, kk, vvv)
-    outs = []
-    off = 0
-    for sl, order in zip(slices, _AXIS_ORDERS):
-        n = sl.stop - sl.start
-        outs.append(_permute_tokens(oo[:, off:off + n], num_frames, height,
-                                    width, order, inverse=True))
-        off += n
-    local = jnp.concatenate(outs, axis=1)
+
+    if scope is not None:
+        from ..parallel.context import head_shard_axes
+        batch_ax, head_axes = head_shard_axes(scope.mesh, b, nh)
+    else:
+        batch_ax, head_axes = None, ()
+
+    if batch_ax or head_axes:
+        # Ulysses form: ONE shard_map over (dp, heads@(tp,sp)) enclosing
+        # permute -> kernel -> inverse permute. The per-head-group axis
+        # permutation is expressed as a constant gather index [nh, s], so
+        # the shard_map body is head-uniform and every token move is
+        # shard-local; the only communication is the all-to-all GSPMD
+        # inserts at the shard_map boundary (seq@sp <-> heads@(tp,sp)).
+        # Doing the permutes at GSPMD level instead (round 3) made the
+        # partitioner replicate the full grid around every 6-axis
+        # transpose ("Involuntary full rematerialization",
+        # MULTICHIP_r03.json).
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        idx, inv = _permutation_indices(nh, num_frames, height, width)
+        qspec = P(batch_ax, head_axes or None, None, None)
+        ispec = P(head_axes or None, None)
+
+        def _sharded_local(q, k, v, idx, inv):
+            take = lambda a, i: jnp.take_along_axis(
+                a, i[None, :, :, None], axis=2)
+            oo = local_fn(take(q, idx), take(k, idx), take(v, idx))
+            return take(oo, inv)
+
+        local = shard_map(
+            _sharded_local, mesh=scope.mesh,
+            in_specs=(qspec,) * 3 + (ispec,) * 2, out_specs=qspec,
+            check_rep=False,
+        )(q_vid, k_vid, v_vid, idx, inv)
+    else:
+        groups = 6
+        base, rem = divmod(nh, groups)
+        off, slices = 0, []
+        for g in range(groups):
+            size = base + (1 if g < rem else 0)
+            slices.append(slice(off, off + size))
+            off += size
+        perm = lambda a, sl, order: _permute_tokens(
+            a[:, sl], num_frames, height, width, order)
+        qq = jnp.concatenate([perm(q_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+        kk = jnp.concatenate([perm(k_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+        vvv = jnp.concatenate([perm(v_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
+        oo = local_fn(qq, kk, vvv)
+        outs = []
+        off = 0
+        for sl, order in zip(slices, _AXIS_ORDERS):
+            n = sl.stop - sl.start
+            outs.append(_permute_tokens(oo[:, off:off + n], num_frames,
+                                        height, width, order, inverse=True))
+            off += n
+        local = jnp.concatenate(outs, axis=1)
 
     # reference combination: video = local + cross_video; text = 2x cross_text
     return cross_txt * 2.0, local + cross_vid

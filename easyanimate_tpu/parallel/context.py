@@ -266,6 +266,24 @@ def ring_attention_diff(q, k, v, axis_name: str = "sp",
     return _ring(q, k, v, sm_scale)
 
 
+def head_shard_axes(mesh: Mesh, batch: int, heads: int):
+    """(batch_axis, head_axes) for Ulysses head parallelism: batch on 'dp'
+    when divisible, heads split over the largest of (tp, sp) / (tp,) / (sp,)
+    that divides the head count. head_axes is () when nothing fits."""
+    batch_ax = ("dp" if mesh.shape.get("dp", 1) > 1
+                and batch % mesh.shape["dp"] == 0 else None)
+    head_axes: tuple = ()
+    for cand in (("tp", "sp"), ("tp",), ("sp",)):
+        size = 1
+        for a in cand:
+            size *= mesh.shape.get(a, 1)
+        if size > 1 and all(mesh.shape.get(a, 1) > 1 for a in cand) \
+                and heads % size == 0:
+            head_axes = cand
+            break
+    return batch_ax, head_axes
+
+
 def head_parallel_call(fn, mesh: Mesh, shape, n_args: int = 3):
     """Ulysses-style head parallelism for attention kernels whose TOKEN axis
     cannot shard (the SWA 6-direction permuted orders): shard_map over
@@ -278,21 +296,11 @@ def head_parallel_call(fn, mesh: Mesh, shape, n_args: int = 3):
 
     fn: positional [B, H, S, D] arrays -> [B, H, S, D] (e.g. windowed
     attention with identical per-head treatment -- permutations must be
-    applied OUTSIDE, at GSPMD level, so the program is head-uniform)."""
+    applied OUTSIDE at GSPMD level or expressed head-uniformly INSIDE via
+    constant gather indices, see ops.swa.swa_attention_streams)."""
     from jax.experimental.shard_map import shard_map
 
-    b, h = shape[0], shape[1]
-    batch_ax = ("dp" if mesh.shape.get("dp", 1) > 1
-                and b % mesh.shape["dp"] == 0 else None)
-    head_axes: tuple = ()
-    for cand in (("tp", "sp"), ("tp",), ("sp",)):
-        size = 1
-        for a in cand:
-            size *= mesh.shape.get(a, 1)
-        if size > 1 and all(mesh.shape.get(a, 1) > 1 for a in cand) \
-                and h % size == 0:
-            head_axes = cand
-            break
+    batch_ax, head_axes = head_shard_axes(mesh, shape[0], shape[1])
     if not head_axes and batch_ax is None:
         return fn
     spec = P(batch_ax, head_axes if head_axes else None, None, None)

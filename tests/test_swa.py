@@ -311,3 +311,63 @@ def test_swa_forward_misaligned_block_sizes(rng):
     want = swa_reference(q, k, v, window)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_permutation_indices_match_transpose_path(rng):
+    """The Ulysses gather form (constant idx/inv tables, head-uniform, used
+    inside the heads-sharded shard_map under sequence_parallel) must be
+    bit-identical to the single-chip reshape/transpose form."""
+    from easyanimate_tpu.ops.swa import _AXIS_ORDERS, _permutation_indices
+
+    nh, f, h, w = 8, 3, 4, 5  # 8 heads / 6 groups: first 2 groups get 2
+    s = f * h * w
+    idx, inv = _permutation_indices(nh, f, h, w)
+    assert idx.shape == inv.shape == (nh, s)
+    x = jnp.asarray(rng.standard_normal((2, nh, s, 16)).astype(np.float32))
+
+    # transpose path (same group split as swa_attention_streams)
+    base, rem = divmod(nh, 6)
+    off, want = 0, []
+    for g, order in enumerate(_AXIS_ORDERS):
+        size = base + (1 if g < rem else 0)
+        want.append(_permute_tokens(x[:, off:off + size], f, h, w, order))
+        off += size
+    want = jnp.concatenate(want, axis=1)
+
+    got = jnp.take_along_axis(x, idx[None, :, :, None], axis=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # inv really is the inverse permutation
+    back = jnp.take_along_axis(got, inv[None, :, :, None], axis=2)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_swa_streams_sharded_matches_single_device(rng):
+    """swa_attention_streams under a (dp1, sp2, tp2) sequence_parallel scope
+    (the Ulysses shard_map gather path) == the plain single-device path."""
+    from easyanimate_tpu.ops.swa import swa_attention_streams
+    from easyanimate_tpu.parallel import MeshConfig, create_mesh
+    from easyanimate_tpu.parallel.context import sequence_parallel
+
+    b, nh, d = 1, 8, 16
+    f, hh, ww = 4, 4, 4
+    st = 8
+    sv = f * hh * ww
+    mk = lambda s: jnp.asarray(
+        rng.standard_normal((b, nh, s, d)).astype(np.float32))
+    qt, kt, vt = mk(st), mk(st), mk(st)
+    qv, kv, vv = mk(sv), mk(sv), mk(sv)
+
+    kwargs = dict(num_frames=f, height=hh, width=ww,
+                  cross_attention_size=24, impl="xla")
+    plain_t, plain_v = swa_attention_streams(qt, kt, vt, qv, kv, vv, **kwargs)
+
+    mesh = create_mesh(MeshConfig(dp=1, sp=2, tp=2), jax.devices()[:4])
+    with mesh, sequence_parallel(mesh):
+        shard_t, shard_v = jax.jit(
+            lambda *a: swa_attention_streams(*a, **kwargs)
+        )(qt, kt, vt, qv, kv, vv)
+    np.testing.assert_allclose(np.asarray(shard_t), np.asarray(plain_t),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard_v), np.asarray(plain_v),
+                               atol=1e-5, rtol=1e-5)
