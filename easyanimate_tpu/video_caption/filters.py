@@ -153,6 +153,20 @@ def filter_manifest(entries: Sequence[dict], *,
     return out
 
 
+def semantic_embed_fn(model: str = "clip", model_path: Optional[str] = None,
+                      **kw):
+    """Backend selector for compute_semantic_consistency, mirroring the
+    reference's ALL_MODEL_NAME list (compute_semantic_consistency.py:21-28):
+    model="dinov2" uses the flax DINOv2 tower (dinov2.py, feature =
+    last_hidden_state.mean over tokens), anything else the CLIP image
+    tower (feature = get_image_features)."""
+    if model.startswith("dinov2"):
+        from .dinov2 import dinov2_image_embed_fn
+
+        return dinov2_image_embed_fn(model_path, **kw)
+    return clip_image_embed_fn(model_path, **kw)
+
+
 def clip_image_embed_fn(clip_path: Optional[str] = None, model=None):
     """CLIP image-embedding callable for compute_semantic_consistency,
     running on the in-repo FlaxCLIP stack (same tower the reward functions
