@@ -229,3 +229,79 @@ def test_compute_text_score_uses_default_detector(tmp_path):
     wr.release()
     score = compute_text_score(path)
     assert score > 0.01
+
+
+def test_openai_compatible_vlm_recaption_end_to_end(tmp_path):
+    """Recorded-fixture test (VERDICT r3 #10): a local stdlib HTTP server
+    mimics an OpenAI-compatible multimodal /chat/completions endpoint;
+    recaption_videos runs end to end through openai_compatible_vlm_fn with
+    a real tiny mp4, and the request protocol is asserted (data-URL
+    image_url parts + text prompt, bearer auth)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import cv2
+    import numpy as np
+
+    from easyanimate_tpu.video_caption.recaption import (
+        openai_compatible_llm_fn, openai_compatible_vlm_fn,
+        recaption_videos)
+
+    recorded = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            req = json.loads(self.rfile.read(n))
+            recorded["path"] = self.path
+            recorded["auth"] = self.headers.get("Authorization")
+            recorded["body"] = req
+            content = req["messages"][0]["content"]
+            if isinstance(content, list):  # multimodal
+                n_img = sum(1 for p in content if p["type"] == "image_url")
+                text = f"A tiny synthetic clip ({n_img} frames seen)."
+            else:
+                text = '{"detailed prompt": "expanded"}'
+            resp = json.dumps({"choices": [{"message": {
+                "role": "assistant", "content": text}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}/v1"
+    try:
+        vid = tmp_path / "clip.mp4"
+        vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"),
+                             8, (48, 48))
+        for i in range(8):
+            vw.write(np.full((48, 48, 3), i * 20, np.uint8))
+        vw.release()
+
+        vlm = openai_compatible_vlm_fn(base, api_key="k", model="internvl2",
+                                       num_frames=4)
+        out = recaption_videos([{"file_path": str(vid), "text": "old"}], vlm)
+        assert out[0]["text"].startswith("A tiny synthetic clip")
+        assert recorded["path"].endswith("/chat/completions")
+        assert recorded["auth"] == "Bearer k"
+        parts = recorded["body"]["messages"][0]["content"]
+        imgs = [p for p in parts if p["type"] == "image_url"]
+        assert len(imgs) == 4
+        assert imgs[0]["image_url"]["url"].startswith(
+            "data:image/jpeg;base64,")
+        assert parts[-1]["type"] == "text"
+        assert recorded["body"]["model"] == "internvl2"
+
+        # the text llm_fn rides the same server (beautiful_prompt backend)
+        llm = openai_compatible_llm_fn(base, api_key="k")
+        from easyanimate_tpu.video_caption.recaption import beautiful_prompt
+        assert beautiful_prompt("a cat", llm) == "expanded"
+    finally:
+        srv.shutdown()
