@@ -82,6 +82,26 @@ def get_teacache_coefficients(model_name: str):
     return None
 
 
+def teacache_gate(mod, prev_mod, acc, idx, n_steps, threshold, coefficients):
+    """Jittable TeaCache decision (reference transformer3d.py:1564-1584):
+    rel-L1 between this step's modulated input and the previous one is
+    rescaled through the calibrated polynomial and accumulated; compute
+    runs when the accumulator crosses `threshold` (resetting it) and is
+    forced at the first and last steps. Returns (should_calc, rel, acc_out).
+
+    Matches the reference exactly: at endpoints the accumulator resets
+    without the polynomial contributing, elsewhere acc += poly(rel) and a
+    crossing resets to 0."""
+    rel = (jnp.mean(jnp.abs(mod.astype(jnp.float32)
+                            - prev_mod.astype(jnp.float32)))
+           / jnp.maximum(jnp.mean(jnp.abs(prev_mod.astype(jnp.float32))),
+                         1e-8))
+    acc_new = acc + jnp.polyval(jnp.asarray(coefficients), rel)
+    endpoint = (idx == 0) | (idx == n_steps - 1)
+    should = endpoint | (acc_new >= threshold)
+    return should, rel, jnp.where(should, 0.0, acc_new)
+
+
 def build_rope(cfg: MMDiTConfig, height: int, width: int, latent_frames: int,
                vae_scale: Optional[int] = None):
     """RoPE tables for a (height, width, frames) generation
@@ -319,17 +339,10 @@ class EasyAnimatePipeline:
                 encoder_hidden_states_t5=txt_t5, method="embed", **cond)
             mod = model.apply(params, vid0, txt_tok, temb,
                               method="modulated_input")
-            prev_mod, prev_res, acc = tea_carry
-            rel = (jnp.mean(jnp.abs(mod.astype(jnp.float32)
-                                    - prev_mod.astype(jnp.float32)))
-                   / jnp.maximum(jnp.mean(jnp.abs(prev_mod.astype(jnp.float32))),
-                                 1e-8))
-            poly = jnp.polyval(jnp.asarray(self.teacache_coefficients), rel)
-            acc_new = acc + poly
-            idx = step[-1]
-            endpoint = (idx == 0) | (idx == n_steps - 1)
-            should = endpoint | (acc_new >= teacache_threshold)
-            acc_out = jnp.where(should, 0.0, acc_new)
+            prev_mod, prev_res, acc, skips = tea_carry
+            should, _, acc_out = teacache_gate(
+                mod, prev_mod, acc, step[-1], n_steps, teacache_threshold,
+                self.teacache_coefficients)
 
             def calc(_):
                 p_ = self.mmdit_cfg.patch_size
@@ -343,7 +356,8 @@ class EasyAnimatePipeline:
 
             vid_out, res = jax.lax.cond(should, calc, skip, None)
             pred = model.apply(params, vid_out, t_, hh, ww, method="head")
-            return pred, (mod, res, acc_out)
+            return pred, (mod, res, acc_out,
+                          skips + jnp.where(should, 0, 1))
 
         def scan_segment(params, carry, seg_steps, txt, txt_t5, rope, cond,
                          sample_rng, use_cfg=True):
@@ -434,7 +448,8 @@ class EasyAnimatePipeline:
                 tok = lambda: sp_constraint(
                     jnp.zeros(shape_tok, self.mmdit_cfg.jdtype),
                     ("dp", "sp", None))
-                tea0 = (tok(), tok(), jnp.zeros((), jnp.float32))
+                tea0 = (tok(), tok(), jnp.zeros((), jnp.float32),
+                        jnp.zeros((), jnp.int32))  # skipped-step counter
             else:
                 tea0 = None
             # the segments donate their carry; copy so the caller's latents
@@ -465,13 +480,17 @@ class EasyAnimatePipeline:
                 cond_c = {k_: sl(v) for k_, v in cond.items()}
                 lat, tea, extra = carry
                 if tea is not None:  # keep the positive half of the carry
-                    tea = (tea[0][b:], tea[1][b:], tea[2])
+                    tea = (tea[0][b:], tea[1][b:], tea[2], tea[3])
                 carry = (lat, tea, extra)
                 for k in range(m, n, c):
                     carry = seg_jit(params, carry,
                                     per_step[k:min(k + c, n)], txt_c,
                                     txt_t5_c, rope, cond_c, rng,
                                     use_cfg=False)
+            # measured TeaCache artifact (device scalar; int() it to sync):
+            # how many steps the gate skipped this run
+            self.last_teacache_skips = (carry[1][3]
+                                        if carry[1] is not None else None)
             return carry[0]
 
         return run

@@ -413,3 +413,82 @@ def test_cfg_skip_composes_with_teacache():
     out = pipe(pos, neg, guidance_scale=4.0, cfg_skip_ratio=0.5,
                teacache_threshold=0.05, rng=jax.random.PRNGKey(5), **kw)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_teacache_gate_matches_reference_simulation(rng):
+    """Pin the jittable TeaCache gate (teacache_gate) against a NumPy
+    re-derivation of the reference control flow (transformer3d.py:1564-1584:
+    endpoints force compute and reset WITHOUT a polynomial contribution;
+    middle steps accumulate poly1d(rel_l1) and a threshold crossing resets)
+    using the published 12B coefficients, over a structured synthetic
+    modulated-input trajectory."""
+    import jax.numpy as jnp
+
+    from easyanimate_tpu.pipeline.t2v import (
+        TEACACHE_COEFFICIENTS, get_teacache_coefficients, teacache_gate)
+
+    # coefficient tables must equal the reference lists verbatim
+    np.testing.assert_allclose(
+        get_teacache_coefficients("EasyAnimateV5.1-12b-zh-InP"),
+        [-10.47857366, 8.33844143, -0.78477557, 0.68798618, 0.0136149])
+    np.testing.assert_allclose(
+        get_teacache_coefficients("EasyAnimateV5.1-7b-zh"),
+        [1.07862322, -4.19362456, 3.06725828, 0.33161686, 0.02374758])
+    assert get_teacache_coefficients("V5-motion-module") is None
+
+    n_steps, thresh = 25, 0.1
+    base = rng.standard_normal((1, 64, 16)).astype(np.float32)
+    # structured trajectory: smooth drift + per-step jitter so rel-L1 is
+    # non-degenerate and varies across steps
+    mods = [base * (1.0 + 0.08 * np.sin(i / 3.0))
+            + 0.02 * rng.standard_normal(base.shape).astype(np.float32)
+            for i in range(n_steps)]
+
+    # reference-faithful simulation (np.poly1d, python control flow)
+    poly = np.poly1d(list(TEACACHE_COEFFICIENTS))
+    acc, prev, want = 0.0, None, []
+    for cnt in range(n_steps):
+        if cnt == 0 or cnt == n_steps - 1:
+            should, acc = True, 0.0
+        else:
+            rel = (np.abs(mods[cnt] - prev).mean()
+                   / np.abs(prev).mean())
+            acc += float(poly(rel))
+            should = acc >= thresh
+            if should:
+                acc = 0.0
+        prev = mods[cnt]
+        want.append(should)
+
+    # repo gate, iterated the way the denoise scan does
+    got, accs = [], []
+    acc_j = jnp.zeros((), jnp.float32)
+    prev_j = jnp.zeros_like(jnp.asarray(mods[0]))
+    for i, m in enumerate(mods):
+        should, _, acc_j = teacache_gate(
+            jnp.asarray(m), prev_j, acc_j, i, n_steps, thresh,
+            TEACACHE_COEFFICIENTS)
+        prev_j = jnp.asarray(m)
+        got.append(bool(should))
+        accs.append(float(acc_j))
+
+    assert got == want, (got, want)
+    # the run must be non-degenerate: some skips AND some computes
+    assert any(got) and not all(got)
+
+
+def test_teacache_skip_counter_exposed():
+    """The pipeline reports how many steps the gate skipped
+    (last_teacache_skips) — the measured artifact bench.py publishes."""
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    n = 4
+    kw = dict(height=h, width=w, video_length=vl, num_inference_steps=n,
+              guidance_scale=3.0, output_type="latent",
+              rng=jax.random.PRNGKey(1))
+    pipe(pos, neg, teacache_threshold=1e9, **kw)   # middle steps all skip
+    assert int(pipe.last_teacache_skips) == n - 2
+    pipe(pos, neg, teacache_threshold=-1e9, **kw)  # never skip
+    assert int(pipe.last_teacache_skips) == 0
