@@ -215,4 +215,5 @@ class EasyAnimateInpaintPipeline(EasyAnimatePipeline):
                           cond, rng=jax.random.fold_in(rng, 0x5A))
         if output_type == "latent":
             return latents
-        return self.decode_latents(latents)
+        return self.decode_latents(latents,
+                                   as_numpy=(output_type != "device"))

@@ -214,7 +214,8 @@ class EasyAnimatePipeline:
 
         if output_type == "latent" or not decode:
             return latents
-        return self.decode_latents(latents)
+        return self.decode_latents(latents,
+                                   as_numpy=(output_type != "device"))
 
     # -- compiled pieces ----------------------------------------------------
 
@@ -497,7 +498,8 @@ class EasyAnimatePipeline:
 
     def decode_latents(self, latents: jnp.ndarray,
                        smooth: Optional[bool] = None,
-                       to_uint8: bool = False) -> np.ndarray:
+                       to_uint8: bool = False,
+                       as_numpy: bool = True) -> np.ndarray:
         """latents -> video (B, C, T, H, W): float in [0, 1], or uint8 when
         to_uint8 (rounded ON DEVICE -- 4x less device-to-host traffic, which
         dominates decode wall-clock on remote/tunneled chips).
@@ -519,7 +521,11 @@ class EasyAnimatePipeline:
                   and latents.shape[2] > 1)  # image decode: nothing to blend
         video = self._decode_fn(tiled, smooth, to_uint8)(
             self.vae_params, latents)
-        return np.asarray(video)
+        # as_numpy=False returns the still-async device array so callers can
+        # overlap the device->host transfer with later dispatched work
+        # (generate_long_video pipelines chunk i's fetch+blend under chunk
+        # i+1's denoise this way)
+        return np.asarray(video) if as_numpy else video
 
     def smooth_default(self) -> bool:
         """Reference gating (pipeline_easyanimate.py:729-731): blend chunk

@@ -283,50 +283,73 @@ def generate_long_video(
             f"(4k+1-normalized {norm_partial}), got {overlap_video_length}")
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    # Decode-off-the-critical-path pipelining: each chunk is requested with
+    # output_type="device" so the pipeline's decode stays an ASYNC device
+    # value; the next chunk's conditioning tail is built from that device
+    # array directly (a device-side slice — no host round trip), and the
+    # expensive np.asarray (device->host transfer of the full decoded
+    # chunk, ~150 MB at 49x384x672) + host blending of chunk i run only
+    # AFTER chunk i+1's denoise has been dispatched. On an async backend
+    # the fetch and blend of chunk i thus overlap chunk i+1's compute.
+    # (tests/test_controller.py pins the dispatch-before-fetch ordering.)
     init_frames = 0
-    last_tail = None
-    out: Optional[np.ndarray] = None
+    last_tail = None        # device array (1, 3, overlap, H, W) or None
+    pending = None          # device array: latest chunk, not yet fetched
+    host_chunks = []        # fetched + blended numpy prefix
+    pipe_kw = dict(pipe_kw)
+    pipe_kw.setdefault("output_type", "device")
     while init_frames < total_length:
         remaining = total_length - init_frames
-        if out is not None:
+        if init_frames > 0:
             remaining += overlap_video_length  # regenerate the blend region
         this_len = min(partial_video_length, remaining)
         this_len = ((max(this_len - 1, 0)) // 4) * 4 + 1  # 4k+1 constraint
-        if out is not None and this_len <= overlap_video_length:
+        if init_frames > 0 and this_len <= overlap_video_length:
             break  # tail window would add no net frames (< 4 left over)
-        if this_len <= 1 and out is not None:
+        if this_len <= 1 and init_frames > 0:
             break
-        video = np.zeros((1, 3, this_len, height, width), np.float32)
+        video = jnp.zeros((1, 3, this_len, height, width), jnp.float32)
         mask = np.ones((1, 1, this_len, height, width), np.float32)
         if last_tail is not None:
             n = last_tail.shape[2]
-            video[:, :, :n] = last_tail
+            video = video.at[:, :, :n].set(last_tail)
             mask[:, :, :n] = 0.0
         elif start_image is not None:
-            video[0, :, 0] = start_image
+            video = video.at[0, :, 0].set(jnp.asarray(start_image))
             mask[:, :, 0] = 0.0
         if end_image is not None:
             # condition the window that covers the final output frame
-            start_pos = 0 if out is None else init_frames - overlap_video_length
+            start_pos = (0 if init_frames == 0
+                         else init_frames - overlap_video_length)
             idx = total_length - 1 - start_pos
             if 0 <= idx < this_len:
-                video[0, :, idx] = end_image
+                video = video.at[0, :, idx].set(jnp.asarray(end_image))
                 mask[:, :, idx] = 0.0
         rng, sub = jax.random.split(rng)
         sample = pipeline(
             prompt_embeds, negative_prompt_embeds,
-            video=jnp.asarray(video), mask_video=jnp.asarray(mask),
+            video=video, mask_video=jnp.asarray(mask),
             height=height, width=width, video_length=this_len,
             rng=sub, **pipe_kw)
-        sample = np.asarray(sample)
-        if out is None:
-            out = sample
-        else:
-            n = overlap_video_length
-            w_new = np.linspace(0, 1, n).reshape(1, 1, n, 1, 1)
-            blended = out[:, :, -n:] * (1 - w_new) + sample[:, :, :n] * w_new
-            out = np.concatenate(
-                [out[:, :, :-n], blended, sample[:, :, n:]], axis=2)
-        last_tail = out[:, :, -overlap_video_length:]
-        init_frames = out.shape[2]
+        # the conditioning tail for the NEXT window is a device-side slice;
+        # blended output tails equal the raw chunk tail (the blend only
+        # touches the first `overlap` frames of a chunk)
+        last_tail = sample[:, :, -overlap_video_length:] \
+            if overlap_video_length else None
+        if pending is not None:
+            host_chunks.append(np.asarray(pending))  # overlaps `sample`
+        pending = sample
+        new_frames = (this_len if init_frames == 0
+                      else this_len - overlap_video_length)
+        init_frames += new_frames
+    if pending is not None:
+        host_chunks.append(np.asarray(pending))
+
+    out = host_chunks[0]
+    n = overlap_video_length
+    w_new = np.linspace(0, 1, n).reshape(1, 1, n, 1, 1) if n else None
+    for chunk in host_chunks[1:]:
+        blended = out[:, :, -n:] * (1 - w_new) + chunk[:, :, :n] * w_new
+        out = np.concatenate([out[:, :, :-n], blended, chunk[:, :, n:]],
+                             axis=2)
     return out[:, :, :total_length]

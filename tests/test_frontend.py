@@ -358,3 +358,57 @@ def test_controller_update_lora_safetensors(tmp_path, rng):
     restored = np.asarray(
         ctl.pipeline(pos, neg, rng=jax.random.PRNGKey(7), **kw))
     np.testing.assert_allclose(restored, base, atol=1e-5)
+
+
+def test_long_video_decode_overlaps_next_denoise(rng):
+    """Pipelining guard (VERDICT r3 #5): generate_long_video must DISPATCH
+    chunk i+1 before it fetches (np.asarray) chunk i's decoded frames, so
+    on an async backend the device->host transfer + host blend of chunk i
+    run under chunk i+1's denoise. Pinned by recording the dispatch/fetch
+    order with a fake pipeline whose outputs log their materialization."""
+    events = []
+
+    class _LazyChunk:
+        """Stands in for the pipeline's async device array."""
+
+        def __init__(self, tag, arr):
+            self.tag, self.arr = tag, arr
+            self.shape = arr.shape
+
+        def __getitem__(self, idx):   # device-side tail slice: NOT a fetch
+            return _LazyChunk(self.tag + "/slice", np.asarray(self.arr[idx]))
+
+        def __array__(self, dtype=None, copy=None):
+            events.append(("fetch", self.tag))
+            return self.arr.astype(dtype) if dtype else self.arr
+
+    class _FakePipe:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, pos, neg, *, video, mask_video, height, width,
+                     video_length, rng=None, **kw):
+            self.calls += 1
+            events.append(("dispatch", f"chunk{self.calls}"))
+            out = np.full((1, 3, video_length, height, width),
+                          0.1 * self.calls, np.float32)
+            return _LazyChunk(f"chunk{self.calls}", out)
+
+    pos = np.zeros((1, 4, 8), np.float32)
+    out = generate_long_video(
+        _FakePipe(), pos, pos, total_length=11, partial_video_length=5,
+        overlap_video_length=2, height=8, width=8,
+        num_inference_steps=2, guidance_scale=2.0)
+    assert out.shape == (1, 3, 11, 8, 8)
+    # at least 3 chunks; every fetch of chunk i happens after chunk i+1's
+    # dispatch (except the final chunk, which has nothing to overlap)
+    dispatches = [e for e in events if e[0] == "dispatch"]
+    assert len(dispatches) >= 3
+    for i in range(1, len(dispatches)):
+        d_next = events.index(("dispatch", f"chunk{i + 1}"))
+        f_prev = events.index(("fetch", f"chunk{i}"))
+        assert d_next < f_prev, (
+            f"chunk{i} was fetched before chunk{i+1} was dispatched: "
+            f"{events}")
+    # blending math unchanged: overlap regions are linear mixes
+    assert np.isfinite(out).all()
