@@ -88,7 +88,14 @@ def _safe_scan_chunk(args, use_swa: bool, int8: bool, height, width,
               "deadline kill the tunneled worker (CLAUDE.md). Estimated "
               f"{est * args.steps:.0f} s.", file=sys.stderr)
         return 0
-    return max(1, min(args.scan_chunk, int(50.0 / est)))
+    cap = max(1, min(args.scan_chunk, int(50.0 / est)))
+    # Prefer a chunk that DIVIDES the step count: a non-dividing chunk
+    # compiles a separate short tail program that executes only once per
+    # run, squarely inside the tunnel's slow-first-executions window
+    # (CLAUDE.md) — measured +1.4% s/step at 384x672x25f (8,8,8,1 vs 5x5).
+    divisors = [c for c in range(1, cap + 1) if args.steps % c == 0]
+    best = max(divisors) if divisors else 1
+    return best if best * 2 >= cap else cap
 
 
 def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
@@ -321,8 +328,12 @@ def main():
 
     # A100 s/step baselines per workload (BASELINE.md / ref README.md:140-143)
     baselines = {(384, 672, 49): 3.7, (384, 672, 25): 1.75,
-                 (576, 1008, 49): 11.4, (768, 1344, 49): 28.3}
-    baseline = baselines.get((height, width, frames), 3.7)
+                 (576, 1008, 25): 4.7, (576, 1008, 49): 11.4,
+                 (768, 1344, 25): 10.6, (768, 1344, 49): 28.3}
+    # workloads the reference never priced (e.g. its 1024x1024x49f "max
+    # generation capability", README.md:37) get vs_baseline null instead of
+    # a made-up ratio
+    baseline = baselines.get((height, width, frames))
     label = {"swa_teacache": "SWA+TeaCache", "swa": "SWA",
              "plain": "dense"}[args.config]
     if args.int4:
@@ -342,7 +353,8 @@ def main():
                    f"{frames}f 25-step CFG, {label} ({weights}, 1x v5e)"),
         "value": round(sec_per_step, 4),
         "unit": "s/step",
-        "vs_baseline": round(baseline / sec_per_step, 3),
+        "vs_baseline": (round(baseline / sec_per_step, 3)
+                        if baseline else None),
         **extra,
     }))
 

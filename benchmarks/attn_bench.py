@@ -44,6 +44,34 @@ def run_case(bh, sq, d, block_q, block_kv, inner, iters=8, valid=None):
     return dt, flops / dt / 1e12
 
 
+def run_bwd_case(bh, sq, d, bwd_bq, bwd_bkv, iters=8):
+    """Fused fwd+bwd TF/s. FLOP convention: 14 * bh * s^2 * d = 2 forward
+    GEMMs + 5 backward GEMM passes (dq pass recomputes qk; dkv pass
+    recomputes qk and dp), each 2*s^2*d."""
+    from easyanimate_tpu.ops import flash_attention as fa
+    from easyanimate_tpu.ops.attention import attention
+
+    fa._BWD_BLOCK_Q, fa._BWD_BLOCK_KV = bwd_bq, bwd_bkv
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, bh, sq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, bh, sq, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, bh, sq, d), jnp.bfloat16)
+
+    def loss(q, k, v):
+        return attention(q, k, v, impl="pallas").astype(jnp.float32).sum()
+
+    fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    for _ in range(8):
+        g = fn(q, k, v)
+    float(g[0][0, 0, 0, 0])
+    t0 = time.time()
+    for _ in range(iters):
+        g = fn(q, k, v)
+    float(g[0][0, 0, 0, 0])
+    dt = (time.time() - t0) / iters
+    flops = 14 * bh * sq * sq * d
+    return dt, flops / dt / 1e12
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bh", type=int, default=96)      # CFG batch 2 x 48 heads
@@ -53,10 +81,25 @@ def main():
     ap.add_argument("--sweep", type=str, default=(
         "1024,2048,256;1024,1024,256;512,1024,256;1024,2048,512;"
         "512,512,256;1024,2048,128;2048,2048,256"))
+    ap.add_argument("--bwd", action="store_true",
+                    help="sweep the BACKWARD block clamps (fused "
+                         "fwd+grad timing; sweep cases are bwd_bq,bwd_bkv)")
     args = ap.parse_args()
 
     print(f"# backend={jax.default_backend()} bh={args.bh} seq={args.seq} "
           f"d={args.d}")
+    if args.bwd:
+        for case in args.sweep.split(";"):
+            bq, bkv = (int(x) for x in case.split(",")[:2])
+            try:
+                dt, tfs = run_bwd_case(args.bh, args.seq, args.d, bq, bkv,
+                                       args.iters)
+                print(f"bwd bq={bq:5d} bkv={bkv:5d}  {dt*1e3:8.2f} ms  "
+                      f"{tfs:6.2f} TF/s fused", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"bwd bq={bq:5d} bkv={bkv:5d}  FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+        return
     for case in args.sweep.split(";"):
         bq, bkv, inner = (int(x) for x in case.split(","))
         try:

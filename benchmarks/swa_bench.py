@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 B, H, D = 2, 48, 64
 ST = 256
-GF, GH, GW = 13, 24, 42
+GF, GH, GW = 13, 24, 42  # --frames overrides GF (25f workload: GF=7)
 SV = GF * GH * GW
 S = ST + SV
 
@@ -32,7 +32,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", default="1024,512,256;1024,256,256;512,512,256;"
                                        "1024,512,512;2048,512,256")
+    ap.add_argument("--frames", type=int, default=13,
+                    help="latent frames (GF); 7 = the 25f workload")
     args = ap.parse_args()
+    global GF, SV, S
+    GF = args.frames
+    SV = GF * GH * GW
+    S = ST + SV
     from easyanimate_tpu.ops.swa import (sliding_window_attention,
                                          swa_joint_attention)
 

@@ -192,6 +192,10 @@ def _flash_fwd(q, k, v, kv_valid, block_q, block_kv, interpret,
 # ---------------------------------------------------------------------------
 
 
+_BWD_BLOCK_Q = 512
+_BWD_BLOCK_KV = 1024
+
+
 def _recompute_p(q, k, lse2):
     """Recompute attention probabilities for one (q, kv) tile pair.
     q arrives pre-scaled by sm_scale*log2e; lse2 is the base-2 logsumexp.
@@ -225,15 +229,17 @@ def _bwd_dq_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # d/ds2 of exp2: ln2 * p  (s2 is the base-2-domain score)
-    ds = p * (dp - di) * LN2
+    # d/ds2 of exp2 contributes a global ln2 factor; it is applied ONCE at
+    # the store ([block_q, d]) instead of per score tile ([block_q,
+    # block_kv] x num_kv) -- one less full-tile VPU multiply per kv block
+    ds = p * (dp - di)
     dq_scr[:] += jax.lax.dot(
         ds.astype(k.dtype), k, preferred_element_type=jnp.float32
     )
 
     @pl.when(j == num_kv - 1)
     def _store():
-        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        dq_ref[0] = (dq_scr[:] * LN2).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
@@ -264,7 +270,7 @@ def _bwd_dkv_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - di) * LN2
+    ds = p * (dp - di)  # ln2 factor applied at the store (see dq kernel)
     # dk += ds^T @ q
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -273,7 +279,7 @@ def _bwd_dkv_kernel(
 
     @pl.when(i == num_q - 1)
     def _store():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_scr[:] * LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -283,9 +289,10 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_kv, interpret):
     # the backward kernels hold p/dp ([bq, bkv] fp32) plus accumulators in
     # VMEM; the forward-tuned (1024, 2048) blocks overflow the ~16M scoped
     # limit at head_dim 64, so clamp to divisors that fit (the wrapper pads
-    # sequences to the FORWARD block sizes, so divisors always tile exactly)
-    block_q = min(block_q, 512)
-    block_kv = min(block_kv, 1024)
+    # sequences to the FORWARD block sizes, so divisors always tile exactly;
+    # module-level knobs so benchmarks/attn_bench.py --bwd can sweep them)
+    block_q = min(block_q, _BWD_BLOCK_Q)
+    block_kv = min(block_kv, _BWD_BLOCK_KV)
     nq, nkv = sq // block_q, skv // block_kv
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
