@@ -182,24 +182,46 @@ def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
 
 
 def _measure_decode(latents) -> float:
-    """VAE decode wall-clock (real MagViT geometry, spatially tiled;
-    transformer weights already freed)."""
+    """VAE decode wall-clock (real MagViT geometry, transformer weights
+    already freed). Uses the overlapped-fetch chunked decode
+    (decode_chunk_frames=4, untiled -- the measured optimum at the
+    published workloads; per-chunk device->host copies run under the later
+    chunks' compute). Falls back to the tiled single-program path if the
+    untiled per-chunk programs don't fit."""
     from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
     from easyanimate_tpu.pipeline import EasyAnimatePipeline
 
-    vae_cfg = MagvitVAEConfig(dtype="bfloat16")
+    # measured optimum on the tunneled v5e (benchmarks/vae_decode_bench.py):
+    # ONE untiled program with 4-latent-frame decode chunks, one fetch.
+    # Per-chunk overlapped fetches measure WORSE here (5.3 s vs 3.3) --
+    # tunnel dispatch round-trips exceed the overlap gain.
+    untiled = max(latents.shape[-2:]) * 8
+    vae_cfg = MagvitVAEConfig(dtype="bfloat16", decode_chunk_frames=4,
+                              tile_sample_min_size=untiled)
     vae = AutoencoderKLMagvit(vae_cfg)
     vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 8, 8, 3)))
     pipe = EasyAnimatePipeline(transformer=None, vae=vae,
                                transformer_params=None, vae_params=vparams)
+    try:
+        decode = lambda: pipe.decode_latents(latents, to_uint8=True)
+        decode()
+    except Exception as e:  # noqa: BLE001 - e.g. untiled OOM at huge sizes
+        print(f"# untiled decode unavailable ({type(e).__name__}); "
+              "falling back to tiled decode", file=sys.stderr)
+        vae_tiled = AutoencoderKLMagvit(MagvitVAEConfig(
+            dtype="bfloat16", decode_chunk_frames=4))
+        pipe_t = EasyAnimatePipeline(transformer=None, vae=vae_tiled,
+                                     transformer_params=None,
+                                     vae_params=vparams)
+        decode = lambda: pipe_t.decode_latents(latents, to_uint8=True)
     # first ~8 executions of a fresh program are slow through the tunnel
     # (CLAUDE.md); warm past them before timing
-    for _ in range(8):
-        pipe.decode_latents(latents, to_uint8=True)
+    for _ in range(7):
+        decode()
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        pipe.decode_latents(latents, to_uint8=True)
+        decode()
         best = min(best, time.time() - t0)
     return best
 

@@ -44,7 +44,8 @@ def run_case(bh, sq, d, block_q, block_kv, inner, iters=8, valid=None):
     return dt, flops / dt / 1e12
 
 
-def run_bwd_case(bh, sq, d, bwd_bq, bwd_bkv, iters=8):
+def run_bwd_case(bh, sq, d, bwd_bq, bwd_bkv, iters=8, inner_q=None,
+                 inner_kv=None):
     """Fused fwd+bwd TF/s. FLOP convention: 14 * bh * s^2 * d = 2 forward
     GEMMs + 5 backward GEMM passes (dq pass recomputes qk; dkv pass
     recomputes qk and dp), each 2*s^2*d."""
@@ -52,6 +53,7 @@ def run_bwd_case(bh, sq, d, bwd_bq, bwd_bkv, iters=8):
     from easyanimate_tpu.ops.attention import attention
 
     fa._BWD_BLOCK_Q, fa._BWD_BLOCK_KV = bwd_bq, bwd_bkv
+    fa._BWD_INNER_Q, fa._BWD_INNER_KV = inner_q, inner_kv
     q = jax.random.normal(jax.random.PRNGKey(0), (1, bh, sq, d), jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(1), (1, bh, sq, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.PRNGKey(2), (1, bh, sq, d), jnp.bfloat16)
@@ -90,15 +92,20 @@ def main():
           f"d={args.d}")
     if args.bwd:
         for case in args.sweep.split(";"):
-            bq, bkv = (int(x) for x in case.split(",")[:2])
+            parts = [int(x) for x in case.split(",")]
+            bq, bkv = parts[:2]
+            iq = parts[2] if len(parts) > 2 and parts[2] else None
+            ikv = parts[3] if len(parts) > 3 and parts[3] else None
             try:
                 dt, tfs = run_bwd_case(args.bh, args.seq, args.d, bq, bkv,
-                                       args.iters)
-                print(f"bwd bq={bq:5d} bkv={bkv:5d}  {dt*1e3:8.2f} ms  "
+                                       args.iters, iq, ikv)
+                print(f"bwd bq={bq:5d} bkv={bkv:5d} iq={iq or bq:4d} "
+                      f"ikv={ikv or bkv:4d}  {dt*1e3:8.2f} ms  "
                       f"{tfs:6.2f} TF/s fused", flush=True)
             except Exception as e:  # noqa: BLE001
-                print(f"bwd bq={bq:5d} bkv={bkv:5d}  FAILED: "
-                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                print(f"bwd bq={bq:5d} bkv={bkv:5d} iq={iq} ikv={ikv}  "
+                      f"FAILED: {type(e).__name__}: {str(e)[:120]}",
+                      flush=True)
         return
     for case in args.sweep.split(";"):
         bq, bkv, inner = (int(x) for x in case.split(","))

@@ -126,18 +126,30 @@ def group_norm(
     b, t, h, w, c = x.shape
     g = num_groups
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
+    cg = c // g
+    # fp32 statistics WITHOUT materializing an fp32 copy of x: the converts
+    # fuse into the reductions, and the normalize collapses to one fused
+    # elementwise pass `x * scale + shift` with per-(frame, channel) f32
+    # scalars. The previous `x32 = x.astype(f32)` formulation made XLA
+    # materialize multi-GB f32 temps at decode resolutions (measured: the
+    # 384x672x49f decode allocated 6.75G f32 copies per up-block norm and
+    # ran HBM-bound).
     if spatial:
-        xg = x32.reshape(b, t, h * w, g, c // g)
-        red = (2, 4)
+        xg = x.reshape(b, t, h * w, g, cg)
+        sb, st = b, t
     else:
-        xg = x32.reshape(b, t * h * w, 1, g, c // g)
-        red = (1, 2, 4)
-    mean = jnp.mean(xg, axis=red, keepdims=True)
-    var = jnp.var(xg, axis=red, keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = xg.reshape(b, t, h, w, c)
-    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+        xg = x.reshape(b, 1, t * h * w, g, cg)
+        sb, st = b, 1
+    mean = jnp.mean(xg, axis=(2, 4), dtype=jnp.float32)   # (b, t|1, g)
+    var = jnp.mean(
+        jnp.square(xg.astype(jnp.float32) - mean[:, :, None, :, None]),
+        axis=(2, 4))
+    inv = jax.lax.rsqrt(var + eps)
+    expand = lambda s: jnp.repeat(s, cg, axis=-1).reshape(sb, st, 1, 1, c)
+    w32 = weight.astype(jnp.float32)
+    scale = expand(inv) * w32
+    shift = bias.astype(jnp.float32) - expand(mean * inv) * w32
+    y = x.astype(jnp.float32) * scale + shift
     return y.astype(dtype)
 
 

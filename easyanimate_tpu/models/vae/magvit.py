@@ -61,6 +61,13 @@ class MagvitVAEConfig:
     use_gc_blocks: Optional[Tuple[bool, ...]] = None
     mini_batch_encoder: int = 4
     mini_batch_decoder: int = 1
+    # decode-side PERFORMANCE chunking only: latent frames fed per decoder
+    # pass in cache_mag mode. mini_batch_decoder stays the SEMANTIC remap
+    # parameter (latent_frame_count); the causal-cache protocol makes the
+    # pass size mathematically irrelevant (chunked==full tests), so larger
+    # passes trade VMEM for fewer, better-utilized device programs.
+    # None = mini_batch_decoder (reference behavior).
+    decode_chunk_frames: Optional[int] = None
     scaling_factor: float = 0.7119
     # chunking mode: 'cache_mag' (V5/V5.1), 'slice_mag' (independent chunks),
     # or 'none' (whole clip at once)
@@ -429,7 +436,9 @@ def vae_decode(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
         latents = jnp.transpose(latents, (0, 2, 3, 4, 1))
     apply_fn = lambda z, c: vae.apply(params, z, c, method=vae.decode_chunk)
     if cfg.chunk_mode == "cache_mag":
-        video = _chunked_apply(apply_fn, latents, cfg.mini_batch_decoder)
+        video = _chunked_apply(apply_fn, latents,
+                               cfg.decode_chunk_frames
+                               or cfg.mini_batch_decoder)
     elif cfg.chunk_mode == "slice_mag":
         video = _slice_apply(apply_fn, latents, cfg.mini_batch_decoder)
     elif cfg.chunk_mode == "cog":
@@ -548,8 +557,12 @@ def vae_decode_tiled(vae: AutoencoderKLMagvit, params, latents: jnp.ndarray,
     apply_fn = lambda z, c: vae.apply(params, z, c, method=vae.decode_chunk)
     ctx_fn = lambda z, p, a: vae.apply(
         params, z, None, prev=p, after=a, method=vae.decode_chunk)[0]
-    run = lambda tile: _run_chunk_mode(apply_fn, tile, cfg,
-                                       cfg.mini_batch_decoder,
+    # decode_chunk_frames only applies under the cache protocol, where the
+    # pass size is mathematically irrelevant (see MagvitVAEConfig); slice
+    # modes decode independent chunks so their size is semantic.
+    dec_chunk = (cfg.decode_chunk_frames or cfg.mini_batch_decoder
+                 if cfg.chunk_mode == "cache_mag" else cfg.mini_batch_decoder)
+    run = lambda tile: _run_chunk_mode(apply_fn, tile, cfg, dec_chunk,
                                        decoding=True, ctx_fn=ctx_fn)
     dec = _tiled(run, latents, tile_in, tile_out_px, cfg.tile_overlap_factor)
     if channels_first:

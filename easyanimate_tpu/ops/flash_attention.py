@@ -194,6 +194,10 @@ def _flash_fwd(q, k, v, kv_valid, block_q, block_kv, interpret,
 
 _BWD_BLOCK_Q = 512
 _BWD_BLOCK_KV = 1024
+# inner compute-tile sizes (None = whole block, the pre-tiling behavior);
+# benchmarks/attn_bench.py --bwd sweeps these alongside the block clamps
+_BWD_INNER_Q = None
+_BWD_INNER_KV = None
 
 
 def _recompute_p(q, k, lse2):
@@ -210,7 +214,7 @@ def _recompute_p(q, k, lse2):
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
-    *, num_kv: int
+    *, num_kv: int, block_kv: int, block_kv_inner: int
 ):
     j = pl.program_id(2)
 
@@ -219,23 +223,28 @@ def _bwd_dq_kernel(
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
     do = do_ref[0]
     lse2 = lse_ref[0]  # [block_q, 1]
     di = di_ref[0]     # [block_q, 1]
 
-    p = _recompute_p(q, k, lse2)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # d/ds2 of exp2 contributes a global ln2 factor; it is applied ONCE at
-    # the store ([block_q, d]) instead of per score tile ([block_q,
-    # block_kv] x num_kv) -- one less full-tile VPU multiply per kv block
-    ds = p * (dp - di)
-    dq_scr[:] += jax.lax.dot(
-        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
-    )
+    # two-level tiling as in the forward: the grid fetches block_kv from HBM,
+    # the unrolled inner loop computes block_kv_inner tiles so the p/dp
+    # score tiles stay small in VMEM while HBM transfers stay large
+    for start in range(0, block_kv, block_kv_inner):
+        k = k_ref[0, start:start + block_kv_inner]
+        v = v_ref[0, start:start + block_kv_inner]
+        p = _recompute_p(q, k, lse2)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32
+        )
+        # d/ds2 of exp2 contributes a global ln2 factor; it is applied ONCE
+        # at the store ([block_q, d]) instead of per score tile ([block_q,
+        # block_kv] x num_kv) -- one less full-tile VPU multiply per kv block
+        ds = p * (dp - di)
+        dq_scr[:] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
 
     @pl.when(j == num_kv - 1)
     def _store():
@@ -245,7 +254,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, num_q: int
+    *, num_q: int, block_q: int, block_q_inner: int
 ):
     i = pl.program_id(2)  # q block (innermost)
 
@@ -254,28 +263,31 @@ def _bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0]
-    lse2 = lse_ref[0]
-    di = di_ref[0]
 
-    p = _recompute_p(q, k, lse2)
-    # dv += p^T @ do
-    dv_scr[:] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - di)  # ln2 factor applied at the store (see dq kernel)
-    # dk += ds^T @ q
-    dk_scr[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    for start in range(0, block_q, block_q_inner):
+        q = q_ref[0, start:start + block_q_inner]
+        do = do_ref[0, start:start + block_q_inner]
+        lse2 = lse_ref[0, start:start + block_q_inner]
+        di = di_ref[0, start:start + block_q_inner]
+
+        p = _recompute_p(q, k, lse2)
+        # dv += p^T @ do
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di)  # ln2 factor applied at the store (see dq kernel)
+        # dk += ds^T @ q
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(i == num_q - 1)
     def _store():
@@ -293,12 +305,15 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_kv, interpret):
     # module-level knobs so benchmarks/attn_bench.py --bwd can sweep them)
     block_q = min(block_q, _BWD_BLOCK_Q)
     block_kv = min(block_kv, _BWD_BLOCK_KV)
+    inner_q = min(_BWD_INNER_Q or block_q, block_q)
+    inner_kv = min(_BWD_INNER_KV or block_kv, block_kv)
     nq, nkv = sq // block_q, skv // block_kv
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
                  keepdims=True)  # [bh, sq, 1]
 
-    dq_kernel = functools.partial(_bwd_dq_kernel, num_kv=nkv)
+    dq_kernel = functools.partial(_bwd_dq_kernel, num_kv=nkv,
+                                  block_kv=block_kv, block_kv_inner=inner_kv)
     dq = pl.pallas_call(
         dq_kernel,
         grid=(bh, nq, nkv),
@@ -319,7 +334,8 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_kv, interpret):
         interpret=interpret,
     )(q, k, v, do, lse, di)
 
-    dkv_kernel = functools.partial(_bwd_dkv_kernel, num_q=nq)
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, num_q=nq,
+                                   block_q=block_q, block_q_inner=inner_q)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(bh, nkv, nq),

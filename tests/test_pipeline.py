@@ -359,6 +359,19 @@ def test_decode_latents_uint8_matches_float():
     np.testing.assert_array_equal(u, np.round(f * 255.0).astype(np.uint8))
 
 
+def test_decode_latents_overlapped_matches_serial():
+    """The per-chunk overlapped-fetch decode is the same math as the
+    single-program decode_latents (cache threads exact conv state); only
+    float reassociation from different chunk groupings differs."""
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    lat = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 4, 5, h // 2, w // 2)).astype(np.float32))
+    want = pipe.decode_latents(lat, to_uint8=True)
+    got = pipe.decode_latents_overlapped(lat, to_uint8=True)
+    assert got.dtype == np.uint8 and got.shape == want.shape
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
+
+
 # -- cfg_skip_ratio (beyond-ref deterministic step-cost lever; the authors'
 # follow-up VideoX-Fun ships the same knob) ---------------------------------
 

@@ -241,3 +241,47 @@ def test_compression_chunk_modes(rng):
     mid = np.asarray(v1)[:, t_first_chunk: 2 * t_first_chunk]
     mid2 = np.asarray(v2)[:, t_first_chunk: 2 * t_first_chunk]
     assert not np.allclose(mid, mid2)   # context flows across chunks
+
+
+def test_decode_chunk_frames_matches_reference_chunking(rng):
+    """decode_chunk_frames is a pure performance knob: any decode pass size
+    must reproduce the mini_batch_decoder=1 output (the cache_mag causal
+    cache threads exact conv state across passes; only float reassociation
+    from the different conv batching differs, ~1e-6)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from easyanimate_tpu.models.vae import (AutoencoderKLMagvit,
+                                            MagvitVAEConfig, vae_decode)
+
+    base = MagvitVAEConfig(
+        latent_channels=4, block_out_channels=(8, 16),
+        down_block_types=("SpatialTemporalDownBlock3D", "SpatialDownBlock3D"),
+        up_block_types=("SpatialTemporalUpBlock3D", "SpatialUpBlock3D"),
+        layers_per_block=1, norm_num_groups=4, mini_batch_encoder=2,
+        mini_batch_decoder=1)
+    vae = AutoencoderKLMagvit(base)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 8, 8, 3)))
+    lat = jnp.asarray(rng.standard_normal((1, 4, 5, 4, 4)).astype(np.float32))
+    want = np.asarray(vae_decode(vae, params, lat))
+    for chunk in (2, 4, 5):
+        vae_c = AutoencoderKLMagvit(
+            dataclasses.replace(base, decode_chunk_frames=chunk))
+        got = np.asarray(vae_decode(vae_c, params, lat))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # tiled decode (the path real resolutions take) honors the knob too
+    from easyanimate_tpu.models.vae import vae_decode_tiled
+
+    tiled_base = dataclasses.replace(base, tile_sample_min_size=8)
+    lat_big = jnp.asarray(
+        rng.standard_normal((1, 4, 5, 4, 6)).astype(np.float32))
+    want_t = np.asarray(vae_decode_tiled(
+        AutoencoderKLMagvit(tiled_base), params, lat_big))
+    got_t = np.asarray(vae_decode_tiled(
+        AutoencoderKLMagvit(
+            dataclasses.replace(tiled_base, decode_chunk_frames=4)),
+        params, lat_big))
+    np.testing.assert_allclose(got_t, want_t, atol=1e-5, rtol=1e-5)
