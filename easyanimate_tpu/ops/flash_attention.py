@@ -192,12 +192,25 @@ def _flash_fwd(q, k, v, kv_valid, block_q, block_kv, interpret,
 # ---------------------------------------------------------------------------
 
 
-_BWD_BLOCK_Q = 512
-_BWD_BLOCK_KV = 1024
-# inner compute-tile sizes (None = whole block, the pre-tiling behavior);
-# benchmarks/attn_bench.py --bwd sweeps these alongside the block clamps
-_BWD_INNER_Q = None
-_BWD_INNER_KV = None
+# Backward tile tuning (measured v5e, flagship shape bh=96 s=13360 d=64,
+# benchmarks/attn_bench.py --bwd, fused fwd+bwd TF/s on the 14*bh*s^2*d
+# useful-FLOP convention):
+#   bq  512 bkv 1024 (no inner, old clamps)   55.8
+#   bq  512 bkv 2048 ikv 512                  57.8
+#   bq 1024 bkv 2048 iq 512 ikv 512           58.6   <- defaults
+#   bq 1024 bkv 2048 (no inner)               FAILS (p/dp VMEM overflow)
+#   bq  512 bkv  512                          49.3
+#   bq  256 bkv 1024                          47.2
+# The two-level split (grid-level HBM blocks + unrolled VMEM compute tiles,
+# same scheme as the forward) is what unlocks the large-block configs: the
+# score tiles stay at (inner_q x inner_kv) f32 while HBM transfers move
+# full blocks. 58.6 fused ~= 92% of the d=64 forward's per-real-FLOP rate
+# (63.5 TF/s) applied to the backward's 7 GEMM passes -- the remaining gap
+# is the di precompute pass and the dq/dkv kernel boundary, both O(s*d).
+_BWD_BLOCK_Q = 1024
+_BWD_BLOCK_KV = 2048
+_BWD_INNER_Q = 512
+_BWD_INNER_KV = 512
 
 
 def _recompute_p(q, k, lse2):
