@@ -10,6 +10,16 @@ against it unchanged.
 
   python examples/app.py --model_path models/EasyAnimateV5.1-12b-zh \
       --server_port 7860
+
+Deployment variants (reference app.py --server_mode / ui.py:1412,1842):
+  --server_mode hosted   fixed-model public demo: edition/checkpoint
+                         switching disabled, LoRAs only from
+                         --personalized_model_dir, resolution/length caps
+                         (modelscope-variant parity)
+  --server_mode remote --remote_url http://tpu-host:7860
+                         thin client: no local model; requests forward to a
+                         remote serving host speaking the same protocol
+                         (EAS-variant parity)
 """
 import argparse
 import os
@@ -20,7 +30,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--model_path",
+                    help="required unless --server_mode remote")
     ap.add_argument("--pipeline", default="inpaint",
                     choices=["t2v", "inpaint", "control"])
     ap.add_argument("--text_encoder_path", default=None,
@@ -37,21 +48,48 @@ def main():
                          "bf16 = W4A16 dequant")
     ap.add_argument("--scheduler", default="Flow")
     ap.add_argument("--server_port", type=int, default=7860)
+    ap.add_argument("--server_mode", default="full",
+                    choices=["full", "hosted", "remote"],
+                    help="full: local model, all management endpoints; "
+                         "hosted: fixed-model public demo (ui_modelscope "
+                         "parity); remote: thin client forwarding to "
+                         "--remote_url (ui_eas parity)")
+    ap.add_argument("--remote_url", default=None,
+                    help="serving host for --server_mode remote")
+    ap.add_argument("--personalized_model_dir", default="models",
+                    help="hosted mode: the only directory LoRA names "
+                         "resolve against")
     args = ap.parse_args()
 
     from easyanimate_tpu.api.server import EasyAnimateAPIServer
-    from easyanimate_tpu.loader import load_pipeline, load_text_encoders
-    from easyanimate_tpu.ui.controller import EasyAnimateController
 
-    pipe = load_pipeline(args.model_path, args.pipeline,
-                         fp8_weights=args.fp8, int8_linears=args.int8,
-                         int4_weights=args.int4,
-                         int4_compute=args.int4_compute,
-                         scheduler=args.scheduler)
-    encode_text = load_text_encoders(
-        args.model_path, text_encoder_path=args.text_encoder_path)
-    controller = EasyAnimateController(pipeline=pipe,
-                                       encode_text=encode_text)
+    if args.server_mode == "remote":
+        if not args.remote_url:
+            ap.error("--server_mode remote requires --remote_url")
+        from easyanimate_tpu.ui.hosted import RemoteController
+
+        controller = RemoteController(args.remote_url)
+    else:
+        if not args.model_path:
+            ap.error("--model_path is required unless --server_mode remote")
+        from easyanimate_tpu.loader import load_pipeline, load_text_encoders
+        from easyanimate_tpu.ui.controller import EasyAnimateController
+
+        pipe = load_pipeline(args.model_path, args.pipeline,
+                             fp8_weights=args.fp8, int8_linears=args.int8,
+                             int4_weights=args.int4,
+                             int4_compute=args.int4_compute,
+                             scheduler=args.scheduler)
+        encode_text = load_text_encoders(
+            args.model_path, text_encoder_path=args.text_encoder_path)
+        controller = EasyAnimateController(pipeline=pipe,
+                                           encode_text=encode_text)
+        if args.server_mode == "hosted":
+            from easyanimate_tpu.ui.hosted import HostedController
+
+            controller = HostedController(
+                controller,
+                personalized_model_dir=args.personalized_model_dir)
 
     server = EasyAnimateAPIServer(controller)
     print(f"serving on http://0.0.0.0:{args.server_port} "

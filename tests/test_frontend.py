@@ -412,3 +412,69 @@ def test_long_video_decode_overlaps_next_denoise(rng):
             f"{events}")
     # blending math unchanged: overlap regions are linear mixes
     assert np.isfinite(out).all()
+
+
+# -- hosted deployment variants (reference ui.py modelscope :1019-1410 /
+# EAS :1771-1840) ------------------------------------------------------------
+
+def test_hosted_controller_locks_and_caps(tmp_path):
+    from easyanimate_tpu.ui.hosted import HostedController, LockedError
+
+    inner = _FakeController()
+    inner.update_lora = lambda path, scale=1.0: setattr(
+        inner, "lora", (path, scale))
+    host = HostedController(inner, personalized_model_dir=str(tmp_path),
+                            max_height=64, max_width=64,
+                            max_video_length=9, max_steps=10)
+    with pytest.raises(LockedError):
+        host.update_diffusion_transformer("/anything")
+    with pytest.raises(LockedError):
+        host.update_edition("v5.1")
+    # LoRA: only names inside the personalized dir resolve; traversal and
+    # unknown names are refused
+    (tmp_path / "style.safetensors").write_bytes(b"x")
+    assert host.refresh_personalized_models() == ["style.safetensors"]
+    with pytest.raises(LockedError):
+        host.update_lora("/etc/../evil.safetensors")
+    host.update_lora("style.safetensors", 0.5)
+    assert inner.lora == (str(tmp_path / "style.safetensors"), 0.5)
+    # generation guard: resolution/length hard-refused, steps clamped
+    with pytest.raises(ValueError):
+        host.generate(height=128, width=64, video_length=5)
+    with pytest.raises(ValueError):
+        host.generate(height=64, width=64, video_length=13)
+    out = host.generate(height=64, width=64, video_length=5,
+                        sample_steps=99)
+    assert out.shape == (1, 3, 5, 64, 64)
+    assert inner.last["sample_steps"] == 10
+
+
+def test_remote_controller_against_live_server():
+    """EAS-variant thin client: generate() round-trips through a real local
+    HTTP server (same protocol as the remote TPU host) and decodes the
+    base64 mp4 back to frames; management ops forward too."""
+    from easyanimate_tpu.ui.hosted import RemoteController
+
+    class Ctl(_FakeController):
+        def update_edition(self, edition, model_path=None):
+            self.edition = edition
+
+    ctl = Ctl()
+    srv = EasyAnimateAPIServer(ctl)
+    srv.serve(port=8767, background=True)
+    try:
+        remote = RemoteController("http://127.0.0.1:8767")
+        video = remote.generate(prompt="a dog", height=32, width=32,
+                                video_length=5, sample_steps=3,
+                                start_image=np.full((32, 32, 3), 0.5,
+                                                    np.float32))
+        assert video.shape[:3] == (1, 3, 5) and video.shape[3:] == (32, 32)
+        assert 0.0 <= float(video.min()) and float(video.max()) <= 1.0
+        assert ctl.last["prompt"] == "a dog"
+        assert ctl.last["start_image"].shape == (32, 32, 3)
+        remote.update_edition("v4")
+        assert ctl.edition == "v4"
+        with pytest.raises(RuntimeError):
+            remote.update_lora("missing.safetensors")  # _FakeController: no op
+    finally:
+        srv.shutdown()
