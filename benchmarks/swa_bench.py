@@ -34,6 +34,10 @@ def main():
                                        "1024,512,512;2048,512,256")
     ap.add_argument("--frames", type=int, default=13,
                     help="latent frames (GF); 7 = the 25f workload")
+    ap.add_argument("--bwd", action="store_true",
+                    help="also sweep the backward tile clamp (fused "
+                         "fwd+grad timing)")
+    ap.add_argument("--bwd_blocks", default="256,512,1024")
     args = ap.parse_args()
     global GF, SV, S
     GF = args.frames
@@ -65,6 +69,30 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"local bq={bq:5d} bkv={bkv:4d} inner={inner:4d}: FAILED "
                   f"{type(e).__name__}: {str(e)[:100]}", flush=True)
+
+    if args.bwd:
+        from easyanimate_tpu.ops import swa as swa_mod
+
+        def loss(q, k, v):
+            return sliding_window_attention(
+                q, k, v, window=window).astype(jnp.float32).sum()
+
+        def grad_probe(q, k, v):
+            # scalar combining all three grads so none is DCE'd and the
+            # fetch in timed() stays one float
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return (dq.ravel()[0] + dk.ravel()[0] + dv.ravel()[0]
+                    ).reshape(1, 1)
+
+        for clamp in (int(x) for x in args.bwd_blocks.split(",")):
+            swa_mod._SWA_BWD_BLOCK = clamp
+            try:
+                t = timed(jax.jit(grad_probe), qv, kv, vv)
+                print(f"bwd clamp={clamp:5d}: {t*1e3:8.2f} ms fused "
+                      f"fwd+grad", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"bwd clamp={clamp:5d}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:100]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -245,6 +245,10 @@ def _swa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+# backward tile clamp; benchmarks/swa_bench.py --bwd sweeps this
+_SWA_BWD_BLOCK = 512
+
+
 def _swa_bwd(qf, kf, vf, o, lse, do, *, window, kv_len, block_q, block_kv,
              interpret):
     bh, sp, d = qf.shape
@@ -253,7 +257,7 @@ def _swa_bwd(qf, kf, vf, o, lse, do, *, window, kv_len, block_q, block_kv,
     # tiles keep every virtual offset (j*bkv + k*bq) on the block grid --
     # the BlockSpec index map can only address whole blocks, so a clamped
     # off-grid offset would silently load the wrong tile.
-    block_q = block_kv = math.gcd(sp, min(block_q, 512))
+    block_q = block_kv = math.gcd(sp, min(block_q, _SWA_BWD_BLOCK))
     nq, nkv = sp // block_q, sp // block_kv
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
