@@ -127,6 +127,13 @@ def vae_config_from_json(cfg: dict, dtype: str = "bfloat16") -> MagvitVAEConfig:
         mini_batch_decoder=cfg.get("mini_batch_decoder", 1),
         scaling_factor=cfg.get("scaling_factor", 0.7119),
         chunk_mode=chunk_mode,
+        # serving default: 4 latent frames per cache_mag decoder pass --
+        # bit-identical to mini_batch_decoder passes (the causal cache
+        # threads exact conv state; tests/test_vae.py) and the measured
+        # decode optimum on v5e (benchmarks/vae_decode_bench.py). Other
+        # chunk modes ignore the knob (pass size is semantic there).
+        decode_chunk_frames=cfg.get("decode_chunk_frames",
+                                    4 if chunk_mode == "cache_mag" else None),
         tile_sample_min_size=cfg.get("tile_sample_min_size", 384),
         tile_overlap_factor=cfg.get("tile_overlap_factor", 0.25),
         dtype=dtype,

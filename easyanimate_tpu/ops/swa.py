@@ -156,6 +156,223 @@ def _swa_fwd(qf, kf, vf, *, window, kv_len, block_q, block_kv,
     return o, lse
 
 
+def _swa_fused_kernel(q_ref, kv_ref, vv_ref, o_ref,
+                      m_scr, l_scr, acc_scr, m2_scr, l2_scr, acc2_scr,
+                      *, window: int, block_q: int, block_kv: int,
+                      num_off: int, kv_len: int, seq_pad: int,
+                      block_kv_inner: int, n_glob: int, glob_pad: int):
+    """Local windowed pass + the SWA global "cross" pass in ONE kernel.
+
+    The kv input is [local tokens (padded to seq_pad) ++ global tokens
+    (text + strided video, zero-padded to n_glob*block_kv)]; grid steps
+    jj < num_off accumulate the windowed softmax (stats set 1), the last
+    n_glob steps accumulate an INDEPENDENT softmax over the global tokens
+    (stats set 2) -- the reference sums the two normalized outputs
+    (processor.py:436), so the store writes local/l1 + global/l2. One kv
+    block streams from HBM per grid step either way, so fusing adds no
+    redundant transfers over the standalone local kernel.
+
+    Measured (v5e, 13-frame flagship geometry): 35.0 ms vs 28.2 local +
+    15.7 standalone-cross + combine = ~10 ms saved per SWA layer.
+    """
+    jj = pl.program_id(2)
+    i = pl.program_id(1)
+
+    @pl.when(jj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m2_scr[:] = jnp.full_like(m2_scr, -jnp.inf)
+        l2_scr[:] = jnp.zeros_like(l2_scr)
+        acc2_scr[:] = jnp.zeros_like(acc2_scr)
+
+    virt = i * block_q + (jj - num_off // 2) * block_kv
+    r0 = i * block_q
+    d = acc_scr.shape[-1]
+
+    @pl.when((jj < num_off) & (virt >= 0) & (virt <= seq_pad - block_kv))
+    def _local():
+        q = q_ref[0]
+        delta = (jax.lax.broadcasted_iota(
+                     jnp.int32, (block_q, block_kv_inner), 0)
+                 - jax.lax.broadcasted_iota(
+                     jnp.int32, (block_q, block_kv_inner), 1))
+        for start in range(0, block_kv, block_kv_inner):
+            k = kv_ref[0, start:start + block_kv_inner]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            c0 = virt + start
+            in_win = ((delta + (r0 - c0 + window)).astype(jnp.uint32)
+                      <= jnp.uint32(2 * window))
+            s = jnp.where(in_win, s, DEFAULT_MASK_VALUE)
+            m_prev = m_scr[:]
+            l_prev = l_scr[:]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - _lane_broadcast(m_next, s.shape[1]))
+            l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m_scr[:] = m_next
+            l_scr[:] = l_next
+            v = vv_ref[0, start:start + block_kv_inner]
+            pv = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            acc_scr[:] = acc_scr[:] * _lane_broadcast(alpha, d) + pv
+
+    @pl.when(jj >= num_off)
+    def _global():
+        # zero-padded global tail needs no mask: pad columns score s2=0 and
+        # the store subtracts their exactly-known mass glob_pad * 2^(-m2)
+        q = q_ref[0]
+        for start in range(0, block_kv, block_kv_inner):
+            k = kv_ref[0, start:start + block_kv_inner]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_prev = m2_scr[:]
+            l_prev = l2_scr[:]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - _lane_broadcast(m_next, s.shape[1]))
+            l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m2_scr[:] = m_next
+            l2_scr[:] = l_next
+            v = vv_ref[0, start:start + block_kv_inner]
+            pv = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            acc2_scr[:] = acc2_scr[:] * _lane_broadcast(alpha, d) + pv
+
+    @pl.when(jj == num_off + n_glob - 1)
+    def _store():
+        m = m_scr[:]
+        l = l_scr[:]
+        if kv_len < seq_pad:  # row-dependent pad mass in the window
+            rows = (jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                    + i * block_q)
+            lo = jnp.maximum(rows - window, kv_len)
+            hi = jnp.minimum(rows + window, seq_pad - 1)
+            n_pad = jnp.maximum(hi - lo + 1, 0).astype(jnp.float32)
+            l = l - n_pad * jnp.exp2(-m)
+        l_inv = jnp.where(l <= 0.0, 1.0, 1.0 / l)
+        out = acc_scr[:] * _lane_broadcast(l_inv, d)
+        m2 = m2_scr[:]
+        l2 = l2_scr[:]
+        if glob_pad:
+            l2 = l2 - glob_pad * jnp.exp2(-m2)
+        l2_inv = jnp.where(l2 <= 0.0, 1.0, 1.0 / l2)
+        out = out + acc2_scr[:] * _lane_broadcast(l2_inv, d)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def swa_local_global(q, k, v, gk, gv, window, block_q, block_kv, interpret,
+                     block_kv_inner):
+    """Windowed local attention PLUS the independent global-softmax pass,
+    summed (reference processor.py:436), in one fused Pallas kernel.
+
+    q/k/v: [B, H, S, D] (the per-head-group PERMUTED video stream);
+    gk/gv: [B, H, SG, D] global tokens (text + strided video, unpermuted --
+    the global pass is permutation-invariant per query).
+    Backward recomputes through the unfused differentiable pair
+    (sliding_window_attention VJP + dense flash VJP) -- flash-style
+    recompute, no extra residuals.
+    """
+    return _swa_local_global_fwd(q, k, v, gk, gv, window, block_q, block_kv,
+                                 interpret, block_kv_inner)[0]
+
+
+def _swa_local_global_fwd(q, k, v, gk, gv, window, block_q, block_kv,
+                          interpret, block_kv_inner):
+    b, h, s, d = q.shape
+    sg = gk.shape[2]
+    sm_scale = d ** -0.5
+    block_q = min(block_q, _round_up(s, 128))
+    block_kv = min(block_kv, _round_up(s, 128))
+    block_kv = math.gcd(block_q, block_kv)
+    sp = _round_up(s, block_q)
+    sgp = _round_up(sg, block_kv)
+    n_glob = sgp // block_kv
+    num_off = -(-(block_q + 2 * window) // block_kv) + 1
+
+    pad3 = lambda a, n: jnp.pad(a, ((0, 0), (0, 0), (0, n), (0, 0)))
+    qf = (q * (sm_scale * LOG2E)).astype(q.dtype)
+    qf = pad3(qf, sp - s).reshape(b * h, sp, d)
+    # single concat producing [local | pad | global | pad] directly -- the
+    # zero pads double as the closed-form-corrected softmax pad masses
+    aug = lambda a, g: jnp.pad(
+        jnp.concatenate([pad3(a, sp - s), g], axis=2),
+        ((0, 0), (0, 0), (0, sgp - sg), (0, 0))).reshape(
+            b * h, sp + sgp, d)
+    kv_aug = aug(k, gk)
+    vv_aug = aug(v, gv)
+
+    def kv_index(bb, i, jj):
+        loc = i * block_q + (jj - num_off // 2) * block_kv
+        loc = jnp.clip(loc, 0, sp - block_kv)
+        glob = sp + (jj - num_off) * block_kv
+        return (bb, jnp.where(jj < num_off, loc, glob) // block_kv, 0)
+
+    kernel = functools.partial(
+        _swa_fused_kernel, window=window, block_q=block_q, block_kv=block_kv,
+        num_off=num_off, kv_len=s, seq_pad=sp,
+        block_kv_inner=min(block_kv_inner, block_kv), n_glob=n_glob,
+        glob_pad=sgp - sg)
+    o = pl.pallas_call(
+        kernel,
+        grid=(b * h, sp // block_q, num_off + n_glob),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bb, i, jj: (bb, i, 0)),
+            pl.BlockSpec((1, block_kv, d), kv_index),
+            pl.BlockSpec((1, block_kv, d), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bb, i, jj: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kv_aug, vv_aug)
+    o = o.reshape(b, h, sp, d)[:, :, :s]
+    return o, (q, k, v, gk, gv)
+
+
+def _swa_local_global_bwd(window, block_q, block_kv, interpret,
+                          block_kv_inner, res, do):
+    q, k, v, gk, gv = res
+
+    def ref(q, k, v, gk, gv):
+        from .attention import attention as dense_attention
+
+        local = sliding_window_attention(
+            q, k, v, window=window, block_q=block_q, block_kv=block_kv,
+            block_kv_inner=block_kv_inner, interpret=interpret)
+        cross = dense_attention(
+            q, gk, gv,
+            impl="pallas_interpret" if interpret else "pallas")
+        return local + cross
+
+    _, vjp = jax.vjp(ref, q, k, v, gk, gv)
+    return vjp(do)
+
+
+swa_local_global.defvjp(
+    lambda q, k, v, gk, gv, window, bq, bkv, interp, inner:
+        _swa_local_global_fwd(q, k, v, gk, gv, window, bq, bkv, interp,
+                              inner),
+    _swa_local_global_bwd)
+
+
 # -- backward: windowed dq / dkv kernels mirroring the forward's
 # virtual-window tiling. p is recomputed from the saved base-2 logsumexp
 # with the SAME band mask, so cost stays O(seq * window) (VERDICT r2 #7:
@@ -245,7 +462,12 @@ def _swa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-# backward tile clamp; benchmarks/swa_bench.py --bwd sweeps this
+# backward tile clamp; benchmarks/swa_bench.py --bwd sweeps this.
+# Measured dead-end (v5e, 13-frame flagship geometry, 2026-08): fused
+# fwd+grad is 122.5 ms at clamp 256, 512 AND 1024 -- the windowed backward
+# is insensitive to tile size because the offset grid (num_off tiles per
+# block) shrinks exactly as blocks grow; it already runs at ~3.5x the
+# forward's wall clock for 3.5x the GEMM passes, i.e. proportional parity.
 _SWA_BWD_BLOCK = 512
 
 
@@ -536,24 +758,40 @@ def swa_attention_streams(
             return fn
         return head_parallel_call(fn, scope.mesh, shape)
 
-    # global cross pass: all queries vs text + strided video kv (tiny).
-    # text and video queries share the kv, so they ride in ONE kernel call
-    # (a separate 256-query call would pay the full per-head grid overhead
-    # again); block_q 2048 / single 1536-wide kv block with a 512 inner
-    # loop measured 16.4 ms vs 21 for two calls at 256-wide kv blocks.
+    # global cross pass kv: text + strided video (tiny set, shared by every
+    # query). On the single-device kernel path the VIDEO queries' cross
+    # pass is FUSED into the local windowed kernel (swa_local_global: the
+    # global tokens ride as extra kv tiles with an independent softmax
+    # accumulator -- measured 35.0 ms vs 28.2 local + 15.7 standalone cross
+    # per layer), so only the text queries need a separate tiny call here.
+    # The sharded and XLA paths keep the joint one-call cross (block_q 2048
+    # / single 1536-wide kv block measured 16.4 ms vs 21 for two calls).
     interval = max(sv // max(cross_attention_size - st, 1), 1)
-    ck = jnp.concatenate([k_txt, k_vid[:, :, ::interval]], axis=2)
-    cv = jnp.concatenate([v_txt, v_vid[:, :, ::interval]], axis=2)
+    # jnp.take lowers ~10% faster than a strided slice for this access
+    # pattern on v5e (13.3 ms for both gathers+concats at flagship shape
+    # either way -- the 128-byte-row stride-17 reads are the cost)
+    stride_idx = jnp.arange(0, sv, interval)
+    ck = jnp.concatenate(
+        [k_txt, jnp.take(k_vid, stride_idx, axis=2)], axis=2)
+    cv = jnp.concatenate(
+        [v_txt, jnp.take(v_vid, stride_idx, axis=2)], axis=2)
     from .attention import attention as dense_attention
 
-    cq = jnp.concatenate([q_txt, q_vid], axis=2)
     cross_impl = ("pallas_interpret" if interpret
                   else "pallas" if use_kernel else "xla")
-    cross_fn = functools.partial(
-        dense_attention, impl=cross_impl,
-        block_q=2048, block_kv=1536, block_kv_inner=512)
-    cross = maybe_head_parallel(cross_fn, cq.shape)(cq, ck, cv)
-    cross_txt, cross_vid = cross[:, :, :st], cross[:, :, st:]
+    fuse_cross = use_kernel and scope is None
+    if fuse_cross:
+        # text queries only: 256 x ~1k -- XLA's fused softmax-matmul is
+        # faster than a kernel launch at this size
+        cross_txt = dense_attention(q_txt, ck, cv, impl="xla")
+        cross_vid = None
+    else:
+        cq = jnp.concatenate([q_txt, q_vid], axis=2)
+        cross_fn = functools.partial(
+            dense_attention, impl=cross_impl,
+            block_q=2048, block_kv=1536, block_kv_inner=512)
+        cross = maybe_head_parallel(cross_fn, cq.shape)(cq, ck, cv)
+        cross_txt, cross_vid = cross[:, :, :st], cross[:, :, st:]
 
     # local 6-direction pass over video tokens only; all head groups share
     # the same window so their permuted tokens batch into ONE kernel call.
@@ -613,7 +851,16 @@ def swa_attention_streams(
         qq = jnp.concatenate([perm(q_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
         kk = jnp.concatenate([perm(k_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
         vvv = jnp.concatenate([perm(v_vid, sl, o) for sl, o in zip(slices, _AXIS_ORDERS)], axis=1)
-        oo = local_fn(qq, kk, vvv)
+        if fuse_cross:
+            # head order is preserved by the group-slice concat, so the
+            # (unpermuted) global kv lines up per head; the global softmax
+            # is permutation-invariant per query, so summing inside the
+            # kernel and inverse-permuting the SUM equals the reference's
+            # local + cross
+            oo = swa_local_global(qq, kk, vvv, ck, cv, window,
+                                  1024, 512, interpret, 512)
+        else:
+            oo = local_fn(qq, kk, vvv)
         outs = []
         off = 0
         for sl, order in zip(slices, _AXIS_ORDERS):
@@ -624,6 +871,8 @@ def swa_attention_streams(
         local = jnp.concatenate(outs, axis=1)
 
     # reference combination: video = local + cross_video; text = 2x cross_text
+    if cross_vid is None:  # fused path: the kernel already added it
+        return cross_txt * 2.0, local
     return cross_txt * 2.0, local + cross_vid
 
 
