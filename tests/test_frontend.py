@@ -115,7 +115,10 @@ def test_long_video_validation_and_end_image(rng):
     pos = jnp.asarray(
         rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
     neg = jnp.zeros_like(pos)
-    for bad in (5, 6, -1):
+    # 3 passes the range check but violates partial >= 2*overlap (the raw
+    # chunk tail used for next-window conditioning must lie outside the
+    # blended head region, ADVICE r4)
+    for bad in (5, 6, -1, 3):
         with pytest.raises(ValueError, match="overlap"):
             generate_long_video(pipe, pos, neg, total_length=20,
                                 partial_video_length=5,
@@ -170,6 +173,22 @@ def test_generate_long_video(rng):
         overlap_video_length=2, height=16, width=16,
         num_inference_steps=2, guidance_scale=2.0)
     assert out.shape == (1, 3, 8, 16, 16)
+    assert np.isfinite(out).all()
+
+
+def test_generate_long_video_zero_overlap(rng):
+    """overlap_video_length=0 abuts windows without blending (ADVICE r4:
+    the deferred blend loop used to TypeError on w_new=None with >=2
+    chunks)."""
+    pipe, cfg = _tiny_inpaint_pipe()
+    pos = jnp.asarray(
+        rng.standard_normal((1, 6, cfg.text_embed_dim)).astype(np.float32))
+    neg = jnp.zeros_like(pos)
+    out = generate_long_video(
+        pipe, pos, neg, total_length=10, partial_video_length=5,
+        overlap_video_length=0, height=16, width=16,
+        num_inference_steps=2, guidance_scale=2.0)
+    assert out.shape == (1, 3, 10, 16, 16)
     assert np.isfinite(out).all()
 
 

@@ -203,13 +203,14 @@ def reference_swa_processor_numpy(q, k, v, text_len, f, h, w,
     return joint[:, :, :st], joint[:, :, st:]
 
 
+@pytest.mark.parametrize("fuse_cross", [False, True])
 @pytest.mark.parametrize("nh,f,h,w,st,cross_size", [
     (6, 3, 4, 4, 8, 16),      # even head split, interval > 1
     (8, 3, 4, 5, 7, 15),      # remainder heads (tensor_split: [2,2,1,1,1,1])
     (13, 2, 3, 4, 5, 1024),   # big remainder, interval == 1
 ])
 def test_swa_streams_match_independent_reference(rng, nh, f, h, w, st,
-                                                 cross_size):
+                                                 cross_size, fuse_cross):
     from easyanimate_tpu.ops.swa import swa_attention_streams
 
     b, d = 1, 8
@@ -222,7 +223,7 @@ def test_swa_streams_match_independent_reference(rng, nh, f, h, w, st,
         jnp.asarray(q_t), jnp.asarray(k_t), jnp.asarray(v_t),
         jnp.asarray(q_v), jnp.asarray(k_v), jnp.asarray(v_v),
         num_frames=f, height=h, width=w, cross_attention_size=cross_size,
-        impl="pallas_interpret")
+        impl="pallas_interpret", fuse_cross=fuse_cross)
 
     q = np.concatenate([q_t, q_v], 2).astype(np.float64)
     k = np.concatenate([k_t, k_v], 2).astype(np.float64)
