@@ -127,6 +127,10 @@ def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
         model, params = prebuilt
         cfg = model.cfg
     else:
+        # compiled-program text occupies HBM on TPU: after the tracked +
+        # teacache + VAE-decode programs, a fresh 11.8 GB dense build hits
+        # RESOURCE_EXHAUSTED unless the stale executables are dropped first
+        jax.clear_caches()
         cfg = PRESETS["v5.1-12b"]
         if use_swa:
             # V5.1 SWA variant: dense attention layer 0, windowed elsewhere
@@ -207,7 +211,7 @@ def _measure_config(args, use_swa: bool, int8: bool, teacache, height, width,
             _free_params(params)
 
 
-def _measure_decode(latents) -> float:
+def _measure_decode(latents) -> dict:
     """VAE decode wall-clock (real MagViT geometry, transformer weights
     already freed). Uses ONE untiled device program with 4-latent-frame
     decode chunks inside (decode_chunk_frames=4) and a single fetch -- the
@@ -237,20 +241,32 @@ def _measure_decode(latents) -> float:
               "falling back to tiled decode", file=sys.stderr)
         vae_tiled = AutoencoderKLMagvit(MagvitVAEConfig(
             dtype="bfloat16", decode_chunk_frames=4))
-        pipe_t = EasyAnimatePipeline(transformer=None, vae=vae_tiled,
-                                     transformer_params=None,
-                                     vae_params=vparams)
-        decode = lambda: pipe_t.decode_latents(latents, to_uint8=True)
-    # first ~8 executions of a fresh program are slow through the tunnel
-    # (CLAUDE.md); warm past them before timing
-    for _ in range(7):
-        decode()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        decode()
-        best = min(best, time.time() - t0)
-    return best
+        pipe = EasyAnimatePipeline(transformer=None, vae=vae_tiled,
+                                   transformer_params=None,
+                                   vae_params=vparams)
+        decode = lambda: pipe.decode_latents(latents, to_uint8=True)
+
+    def timed(fn, warm=8):
+        # first ~8 executions of a fresh program are slow through the
+        # tunnel (CLAUDE.md); warm past them before timing
+        for _ in range(warm):
+            fn()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    out = {"rgb": timed(decode)}
+    try:
+        # mp4-bound serving output: device-side 4:2:0 halves the fetch
+        # bytes (the dominant decode cost through the tunnel) with zero
+        # loss in the delivered mp4 (itself 4:2:0)
+        out["yuv420"] = timed(lambda: pipe.decode_latents_yuv420(latents))
+    except Exception as e:  # noqa: BLE001
+        print(f"# yuv420 decode failed: {e}", file=sys.stderr)
+    return out
 
 
 def main():
@@ -342,19 +358,6 @@ def main():
         if handle is not None:  # teacache secondary skipped or crashed
             _free_params(handle[1])
             handle = None
-        try:
-            decode_s = _measure_decode(final_latents)
-            baseline_wall = {(384, 672, 49): 90.0, (384, 672, 25): 45.0,
-                             (576, 1008, 49): 300.0}.get(
-                                 (height, width, frames))
-            extra["vae_decode_s"] = round(decode_s, 2)
-            extra["e2e_wall_clock_s"] = round(
-                args.steps * sec_per_step + decode_s, 1)
-            if baseline_wall:
-                extra["e2e_vs_baseline"] = round(
-                    baseline_wall / extra["e2e_wall_clock_s"], 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"# secondary VAE decode failed: {e}", file=sys.stderr)
         # the apples-to-apples numbers next to the tracked fast config: the
         # A100 3.7 s/step baseline was measured on the DENSE model, so the
         # dense s/step rides in the same tracked artifact (VERDICT r2).
@@ -383,6 +386,31 @@ def main():
             extra["dense_bf16_s_per_step"] = round(dense_bf16, 4)
         except Exception as e:  # noqa: BLE001
             print(f"# secondary dense-bf16 failed: {e}", file=sys.stderr)
+        # decode LAST (it needs only the tiny final latents, and the 11.8 GB
+        # dense rebuilds above need the arena as unfragmented as possible —
+        # run-b of r5 showed dense builds RESOURCE_EXHAUST when the decode
+        # pipe's buffers sit mid-arena; crash isolation means a failed dense
+        # build can no longer leak into this measurement either)
+        try:
+            decode_s = _measure_decode(final_latents)
+            baseline_wall = {(384, 672, 49): 90.0, (384, 672, 25): 45.0,
+                             (576, 1008, 49): 300.0}.get(
+                                 (height, width, frames))
+            extra["vae_decode_s"] = round(decode_s["rgb"], 2)
+            extra["e2e_wall_clock_s"] = round(
+                args.steps * sec_per_step + decode_s["rgb"], 1)
+            if baseline_wall:
+                extra["e2e_vs_baseline"] = round(
+                    baseline_wall / extra["e2e_wall_clock_s"], 3)
+            if "yuv420" in decode_s:
+                extra["vae_decode_yuv420_s"] = round(decode_s["yuv420"], 2)
+                e2e_yuv = args.steps * sec_per_step + decode_s["yuv420"]
+                extra["e2e_yuv420_wall_clock_s"] = round(e2e_yuv, 1)
+                if baseline_wall:
+                    extra["e2e_yuv420_vs_baseline"] = round(
+                        baseline_wall / e2e_yuv, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"# secondary VAE decode failed: {e}", file=sys.stderr)
     elif handle is not None:
         _free_params(handle[1])
 

@@ -49,6 +49,58 @@ def attention_xla(
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
+# above this many score elements the off-TPU XLA path switches to the
+# q-block-chunked form (16M f32 = 64 MB of scores per full materialization)
+_CHUNKED_XLA_SCORES = 4096 * 4096
+
+
+def attention_xla_chunked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    kv_valid: Optional[int] = None,
+    block_q: int = 1024,
+) -> jnp.ndarray:
+    """Memory-bounded XLA attention: lax.map over q blocks, per-block f32
+    softmax against the full kv, block body rematerialized in the backward
+    (jax.checkpoint) — live memory O(block_q * S_kv) instead of
+    attention_xla's O(S_q * S_kv). Same math as attention_xla (each query
+    row still sees one full-row f32 softmax), so outputs agree to f32
+    roundoff; tests/test_ops.py pins fwd+grad equality.
+
+    This is the off-TPU stand-in at large S: the TPU path is the Pallas
+    flash kernel (block-bounded fwd, recomputing bwd), so a dense [S, S]
+    fallback would make any off-TPU compiled-memory measurement — e.g. the
+    multichip dryrun's per-device HBM gate at 53k tokens — describe a
+    program 100x bigger than the one that actually runs on chips."""
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    b, h, sq, _ = q.shape
+    skv = k.shape[2]
+    bq = min(block_q, sq)
+    pad = (-sq) % bq
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nb = (sq + pad) // bq
+    qb = jnp.moveaxis(q.reshape(b, h, nb, bq, d), 2, 0)  # [nb, b, h, bq, d]
+    col_ok = jnp.arange(skv) < (skv if kv_valid is None else kv_valid)
+
+    @jax.checkpoint
+    def block(qi):
+        s = jnp.einsum("bhqd,bhkd->bhqk", qi, k,
+                       preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(col_ok[None, None, None, :], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+    o = jax.lax.map(block, qb)
+    o = jnp.moveaxis(o, 0, 2).reshape(b, h, sq + pad, d)
+    return o[:, :, :sq] if pad else o
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -69,6 +121,9 @@ def attention(
     if impl == "auto":
         impl = "pallas" if _use_pallas() else "xla"
     if impl == "xla":
+        if q.shape[2] * k.shape[2] > _CHUNKED_XLA_SCORES:
+            return attention_xla_chunked(q, k, v, sm_scale=sm_scale,
+                                         kv_valid=kv_valid)
         return attention_xla(q, k, v, sm_scale=sm_scale, kv_valid=kv_valid)
 
     interpret = impl == "pallas_interpret"

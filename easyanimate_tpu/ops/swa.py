@@ -648,6 +648,56 @@ def swa_reference(q, k, v, window: int, sm_scale: Optional[float] = None):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
+def swa_reference_banded(q, k, v, window: int,
+                         sm_scale: Optional[float] = None,
+                         block_q: int = 512):
+    """Same math as swa_reference — every query row sees one full-row f32
+    softmax over its |i-j| <= window band — but O(s * window) live memory:
+    lax.map over q blocks, each attending a dynamic-sliced kv span of
+    block_q + 2*window, block body rematerialized in the backward.
+
+    This is the off-TPU fallback at large s (the TPU path is the Pallas
+    virtual-window kernel, equally O(s * window)); without it a 53k-token
+    off-TPU compile materializes 47 layers of [s, s] masked scores and any
+    compiled-memory measurement is meaningless. Fwd+grad equality vs
+    swa_reference is pinned in tests/test_swa.py."""
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    b, h, n, _ = q.shape
+    bq = min(block_q, n)
+    span = min(n, bq + 2 * window)
+    if span >= n:  # band covers everything a block can see: dense is equal
+        return swa_reference(q, k, v, window, sm_scale)
+    pad = (-n) % bq
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else q
+    nb = (n + pad) // bq
+    qb = jnp.moveaxis(qp.reshape(b, h, nb, bq, d), 2, 0)  # [nb, b, h, bq, d]
+    q0 = jnp.arange(nb) * bq
+    kv0 = jnp.clip(q0 - window, 0, n - span)
+
+    @jax.checkpoint
+    def block(args):
+        qi, i0, s0 = args
+        kk = jax.lax.dynamic_slice_in_dim(k, s0, span, axis=2)
+        vv = jax.lax.dynamic_slice_in_dim(v, s0, span, axis=2)
+        qidx = i0 + jnp.arange(bq)
+        kidx = s0 + jnp.arange(span)
+        m = jnp.abs(qidx[:, None] - kidx[None, :]) <= window
+        # q-padding rows (qidx >= n) get a finite all-ones row so the
+        # softmax stays NaN-free; their output is sliced away below
+        m = m | (qidx[:, None] >= n)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qi, kk,
+                       preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(m[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), vv)
+
+    o = jax.lax.map(block, (qb, q0, kv0))
+    o = jnp.moveaxis(o, 0, 2).reshape(b, h, n + pad, d)
+    return o[:, :, :n] if pad else o
+
+
 # ---------------------------------------------------------------------------
 # The 6-direction SWA composition (reference processor.py:398-436)
 # ---------------------------------------------------------------------------
@@ -812,6 +862,11 @@ def swa_attention_streams(
     if use_kernel:
         local_fn = functools.partial(sliding_window_attention, window=window,
                                      interpret=interpret)
+    elif sv > 8192:
+        # off-TPU at big s: banded O(s*window) fallback — the dense-masked
+        # reference's [s, s] f32 scores would dominate (and falsify) any
+        # compiled-memory measurement at flagship token counts
+        local_fn = functools.partial(swa_reference_banded, window=window)
     else:
         local_fn = functools.partial(swa_reference, window=window)
 

@@ -10,6 +10,7 @@ from .sharding import (
     mmdit_param_specs,
     named_sharding,
     shard_params,
+    zero_param_specs,
     data_spec,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "mmdit_param_specs",
     "named_sharding",
     "shard_params",
+    "zero_param_specs",
     "data_spec",
 ]

@@ -75,6 +75,46 @@ def shard_params(params, mesh: Mesh):
     ), specs
 
 
+def zero_param_specs(params, mesh: Mesh, zero_axes=("dp", "sp")) -> dict:
+    """ZeRO-2-equivalent specs for OPTIMIZER STATE (and EMA): each moment
+    inherits its parameter's tp spec PLUS sharding of its largest
+    still-unsharded, divisible dimension over the data axes.
+
+    The reference trains under DeepSpeed ZeRO stage-2
+    (config/zero_stage2_config.json; scripts/README_TRAIN.md:83): optimizer
+    state is partitioned across data-parallel ranks while params stay
+    replicated per rank. This is the GSPMD form of the same contract:
+    moments/EMA are elementwise state, so ANY extra sharding is valid; the
+    partitioner inserts the ZeRO comm pattern itself (reduce-scatter of
+    grads into the moment shards, all-gather of the param update). Without
+    this, dp and sp replicate the 94 GB 12B Adam state that tp alone only
+    halves — the per-device memory gate in __graft_entry__ caught exactly
+    that.
+
+    Apply to opt_state via optax.tree_map_params and to ema_params
+    directly; keep plain mmdit_param_specs for the params themselves
+    (ZeRO-2 keeps them replicated across data ranks; sharding them too
+    would be FSDP/ZeRO-3, a different wall-clock trade)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    axes = tuple(a for a in zero_axes if sizes.get(a, 1) > 1)
+    factor = int(np.prod([sizes[a] for a in axes])) if axes else 1
+    base = mmdit_param_specs(params)
+
+    def extend(leaf, spec):
+        if factor == 1:
+            return spec
+        shape = np.shape(leaf)
+        parts = list(spec) + [None] * (len(shape) - len(spec))
+        # largest unsharded divisible dim gets the data axes
+        for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+            if parts[i] is None and shape[i] % factor == 0:
+                parts[i] = axes if len(axes) > 1 else axes[0]
+                return P(*parts)
+        return P(*parts)
+
+    return jax.tree.map(extend, params, base)
+
+
 def data_spec(kind: str) -> P:
     """Activation specs.
 

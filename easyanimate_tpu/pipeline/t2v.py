@@ -533,9 +533,9 @@ class EasyAnimatePipeline:
         chunks and have no seams."""
         return self.vae_cfg.chunk_mode in ("slice_mag", "slice_compression")
 
-    @functools.lru_cache(maxsize=4)
+    @functools.lru_cache(maxsize=6)
     def _decode_fn(self, tiled: bool = False, smooth: bool = False,
-                   to_uint8: bool = False):
+                   to_uint8: bool = False, yuv420: bool = False):
         vae = self.vae
         scale = self.vae_cfg.scaling_factor
 
@@ -555,11 +555,51 @@ class EasyAnimatePipeline:
                 video = smooth_output(vae, vae_params, video)
                 video = jnp.clip(video, -1.0, 1.0)
             out = jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            if yuv420:
+                # full-range BT.601; chroma 2x2 box-averaged in float
+                # BEFORE quantization (see decode_latents_yuv420)
+                r, g, b = out[:, 0], out[:, 1], out[:, 2]
+                y = 0.299 * r + 0.587 * g + 0.114 * b
+                u = -0.168736 * r - 0.331264 * g + 0.5 * b + 0.5
+                v = 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
+
+                def sub(p):
+                    return 0.25 * (p[..., 0::2, 0::2] + p[..., 1::2, 0::2]
+                                   + p[..., 0::2, 1::2] + p[..., 1::2, 1::2])
+
+                to8 = lambda p: jnp.round(
+                    jnp.clip(p, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                return to8(y), to8(sub(u)), to8(sub(v))
             if to_uint8:
                 out = jnp.round(out * 255.0).astype(jnp.uint8)
             return out
 
         return run
+
+    def decode_latents_yuv420(self, latents: jnp.ndarray,
+                              smooth: Optional[bool] = None,
+                              as_numpy: bool = True):
+        """latents -> (y, u, v) uint8 planes: y (B, T, H, W), u/v
+        (B, T, H/2, W/2), full-range BT.601 with 2x2 box-averaged chroma.
+
+        The mp4 the serving layer writes is 4:2:0 anyway, so doing the
+        chroma subsample ON DEVICE halves the device->host bytes (1.5 vs 3
+        per pixel) with zero loss in the delivered video -- the transfer is
+        the dominant decode cost on remote/tunneled chips (CLAUDE.md:
+        20-29 MB/s). utils.media.yuv420_to_rgb reconstructs RGB host-side
+        for non-mp4 consumers (with ordinary 4:2:0 chroma loss).
+        """
+        if smooth is None:
+            smooth = self.smooth_default()
+        tile_latent = (self.vae_cfg.tile_sample_min_size
+                       // self.vae_cfg.spatial_compression)
+        tiled = max(latents.shape[-2:]) > tile_latent
+        smooth = smooth and not tiled and latents.shape[2] > 1
+        y, u, v = self._decode_fn(tiled, smooth, True, True)(
+            self.vae_params, latents)
+        if as_numpy:
+            return np.asarray(y), np.asarray(u), np.asarray(v)
+        return y, u, v
 
     def decode_latents_overlapped(self, latents: jnp.ndarray,
                                   to_uint8: bool = True) -> np.ndarray:

@@ -21,6 +21,24 @@ def _to_thwc_uint8(video: np.ndarray, rescale: bool = False) -> np.ndarray:
     return (np.transpose(v, (1, 2, 3, 0)) * 255).astype(np.uint8)
 
 
+def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Inverse of the pipeline's device-side 4:2:0 output
+    (EasyAnimatePipeline.decode_latents_yuv420): y (B,T,H,W) uint8 +
+    u/v (B,T,H/2,W/2) uint8, full-range BT.601 -> (B,3,T,H,W) uint8 RGB.
+    Chroma is nearest-upsampled; the only loss vs the RGB decode path is
+    ordinary 4:2:0 subsampling (none at all once the frames land in an
+    mp4, which is 4:2:0 itself)."""
+    yf = y.astype(np.float32) / 255.0
+    up = lambda p: np.repeat(np.repeat(p, 2, axis=-2), 2, axis=-1)
+    uf = up(u.astype(np.float32) / 255.0 - 0.5)
+    vf = up(v.astype(np.float32) / 255.0 - 0.5)
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    rgb = np.stack([r, g, b], axis=1)
+    return np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+
+
 def color_transfer(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
     """Match src's per-channel LAB mean/std to ref's (reference
     utils.py:21-47). uint8 HWC RGB in, uint8 HWC RGB out. Used to pin

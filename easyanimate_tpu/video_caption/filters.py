@@ -61,7 +61,19 @@ def default_text_boxes(frame_rgb: np.ndarray) -> List[tuple]:
     This is the in-repo default behind compute_text_score so the reference's
     text-area filter (video_caption/compute_text_score.py) runs without
     easyocr weights; easyocr (or any ocr_fn) remains the drop-in upgrade.
-    Returns (x0, y0, x1, y1) line boxes."""
+    Returns (x0, y0, x1, y1) line boxes.
+
+    Gap vs the reference's easyocr/CRAFT detector (compute_text_score.py
+    :4-23, downloads CRAFT weights): CRAFT detects curved / rotated /
+    low-contrast scene text and rejects high-frequency textures by
+    learned character-ness; this detector only finds horizontal
+    high-contrast text LINES and can fire on line-like textures (fences,
+    window grids). For the filter's actual decision — drop clips whose
+    overlay-text area exceeds ~2% (filter_meta_train.py) — both agree on
+    the dominant case (burned-in captions/banners are horizontal and
+    high-contrast); the side-by-side on synthetic overlay vs clean clips
+    is pinned in tests/test_video_caption.py::
+    test_text_score_side_by_side_overlay_vs_clean."""
     import cv2
 
     gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)

@@ -29,6 +29,10 @@ import numpy as np
 
 def parse_args():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--fsdp", action="store_true",
+                    help="data-shard the params too (ZeRO-3/FSDP layout; "
+                         "default is ZeRO-2: replicated params, sharded "
+                         "optimizer state)")
     ap.add_argument("--train_data_meta", required=True)
     ap.add_argument("--train_data_dir", default=None)
     ap.add_argument("--output_dir", default="runs/train")
@@ -221,7 +225,8 @@ def main():
         step_fn = make_train_step(transformer, tcfg,
                                   params=tparams["params"])
         state_specs = _state_specs(state, tcfg, mmdit_param_specs,
-                                   make_optimizer, TrainState)
+                                   make_optimizer, TrainState, mesh,
+                                   fsdp=args.fsdp)
     if state_specs is not None:
         from jax.sharding import NamedSharding
 
@@ -385,20 +390,31 @@ def main():
         print("done; checkpoints in", ckpts.directory)
 
 
-def _state_specs(state, tcfg, mmdit_param_specs, make_optimizer, TrainState):
-    """ZeRO-style optimizer sharding: opt-state specs inherit param specs."""
+def _state_specs(state, tcfg, mmdit_param_specs, make_optimizer, TrainState,
+                 mesh, fsdp=False):
+    """ZeRO-2-equivalent sharding (DeepSpeed zero_stage2_config.json
+    parity): params replicated across data ranks (tp-sharded only), while
+    optimizer moments and EMA additionally shard over (dp, sp) via
+    zero_param_specs — without that, dp/sp replicate the 12B's 94 GB Adam
+    state per device."""
     import optax
     from jax.sharding import PartitionSpec as P
 
-    param_specs = mmdit_param_specs(state.params)
+    from easyanimate_tpu.parallel import zero_param_specs
+
+    zero_specs = zero_param_specs(state.params, mesh)
+    # --fsdp additionally data-shards the params themselves (GSPMD gathers
+    # them per scan segment, reduce-scatters grads) -- required to fit the
+    # 12B f32-Adam step on small meshes; see __graft_entry__'s HBM gate
+    param_specs = zero_specs if fsdp else mmdit_param_specs(state.params)
     tx = make_optimizer(tcfg, state.params["params"])
     opt_specs = optax.tree_map_params(
-        tx, lambda _, s: s, state.opt_state, param_specs["params"],
+        tx, lambda _, s: s, state.opt_state, zero_specs["params"],
         transform_non_params=lambda _: P(),
     )
     return TrainState(
         step=P(), params=param_specs, opt_state=opt_specs,
-        ema_params=param_specs["params"] if state.ema_params is not None
+        ema_params=zero_specs["params"] if state.ema_params is not None
         else None,
     )
 

@@ -72,6 +72,59 @@ def test_attention_unaligned_seq_pads(rng, impl):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-4)
 
 
+def test_attention_xla_chunked_matches_dense(rng):
+    """The memory-bounded off-TPU fallback (q-block lax.map + rematted
+    bodies) is the same math as attention_xla: fwd and grads agree at a
+    size forcing multiple blocks AND a padded tail, with kv_valid."""
+    from easyanimate_tpu.ops.attention import (attention_xla,
+                                               attention_xla_chunked)
+
+    b, h, s, d = 1, 3, 300, 32
+    q, k, v, co = (jnp.asarray(rng.standard_normal((b, h, s, d)),
+                               jnp.float32) for _ in range(4))
+
+    def run(fn, *a):
+        return fn(*a, kv_valid=260)
+
+    o_ref = run(attention_xla, q, k, v)
+    o_chk = run(lambda *a, **kw: attention_xla_chunked(*a, block_q=64, **kw),
+                q, k, v)
+    np.testing.assert_allclose(np.asarray(o_chk), np.asarray(o_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(run(fn, q, k, v) * co)
+
+    g_ref = jax.grad(lambda *a: loss(attention_xla, *a), (0, 1, 2))(q, k, v)
+    g_chk = jax.grad(
+        lambda *a: loss(lambda *b, **kw: attention_xla_chunked(
+            *b, block_q=64, **kw), *a), (0, 1, 2))(q, k, v)
+    for gr, gc in zip(g_ref, g_chk):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_attention_xla_routes_large_to_chunked(monkeypatch):
+    """attention(impl='xla') switches to the chunked form above the score
+    threshold (so the 53k-token off-TPU compile never materializes the
+    [S, S] scores) and stays on the dense reference below it."""
+    import importlib
+
+    A = importlib.import_module("easyanimate_tpu.ops.attention")
+    calls = []
+    monkeypatch.setattr(
+        A, "attention_xla_chunked",
+        lambda *a, **kw: calls.append("chunked") or jnp.zeros_like(a[0]))
+    monkeypatch.setattr(
+        A, "attention_xla",
+        lambda *a, **kw: calls.append("dense") or jnp.zeros_like(a[0]))
+    small = jnp.zeros((1, 1, 128, 8))
+    A.attention(small, small, small, impl="xla")
+    monkeypatch.setattr(A, "_CHUNKED_XLA_SCORES", 100 * 128)
+    A.attention(small, small, small, impl="xla")
+    assert calls == ["dense", "chunked"]
+
+
 def test_flash_attention_grads_match_xla(rng):
     b, h, s, d = 1, 2, 256, 64
     q = rng.standard_normal((b, h, s, d)).astype(np.float32)

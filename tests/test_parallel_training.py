@@ -12,6 +12,7 @@ from easyanimate_tpu.parallel import (
     create_mesh,
     data_spec,
     mmdit_param_specs,
+    zero_param_specs,
 )
 from easyanimate_tpu.training import (
     FlowMatchLossConfig,
@@ -66,6 +67,42 @@ def test_masked_mse_ignores_outliers():
     np.testing.assert_allclose(float(loss), 0.5)  # (0 + 1) / 2 valid elems
 
 
+def test_zero_param_specs_shard_data_axes():
+    """ZeRO-2 equivalent (DeepSpeed zero_stage2_config.json parity):
+    optimizer-state/EMA specs extend the param spec with (dp, sp) on the
+    largest unsharded divisible dim; param specs themselves are untouched
+    (params stay replicated across data ranks like ZeRO-2)."""
+    import flax
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=2, tp=2))
+    cfg = PRESETS["tiny"]
+    model = EasyAnimateTransformer3D(cfg)
+    lat = jnp.zeros((1, 4, 2, 8, 8))
+    txt = jnp.zeros((1, 5, cfg.text_embed_dim))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), txt,
+                        None)
+    base = flax.traverse_util.flatten_dict(mmdit_param_specs(params), sep="/")
+    zero = flax.traverse_util.flatten_dict(zero_param_specs(params, mesh),
+                                           sep="/")
+    flatp = flax.traverse_util.flatten_dict(params, sep="/")
+    n_ext = 0
+    for k, zs in zero.items():
+        bs = base[k]
+        # base axes preserved at their positions
+        for i, a in enumerate(bs):
+            if a is not None:
+                assert zs[i] == a, (k, bs, zs)
+        extra = [a for a in zs if isinstance(a, tuple) or a in ("dp", "sp")]
+        if extra:
+            n_ext += 1
+            axes = extra[0] if isinstance(extra[0], tuple) else (extra[0],)
+            dim = list(zs).index(extra[0])
+            assert flatp[k].shape[dim] % 4 == 0, (k, zs)
+            assert set(axes) <= {"dp", "sp"}
+    # every matmul kernel (and most other leaves) must pick up data axes
+    assert n_ext >= sum(1 for k in base if k.endswith("kernel"))
+
+
 def test_sharded_train_step_runs_and_updates():
     mesh = create_mesh(MeshConfig(dp=2, sp=2, tp=2))
     cfg = PRESETS["tiny"]
@@ -79,14 +116,25 @@ def test_sharded_train_step_runs_and_updates():
     state = create_train_state(params, tcfg)
     step_fn = make_train_step(model, tcfg)
 
+    # single-device reference first: the ZeRO-sharded step must be
+    # numerically equivalent, not merely finite
+    state_ref, metrics_ref = jax.jit(step_fn)(
+        state, {
+            "latents": jax.random.normal(jax.random.PRNGKey(1),
+                                         (b, 4, 2, 8, 8)),
+            "text": jax.random.normal(jax.random.PRNGKey(2),
+                                      (b, 5, cfg.text_embed_dim)),
+        }, jax.random.PRNGKey(3))
+
     param_specs = mmdit_param_specs(state.params)
+    zero_specs = zero_param_specs(state.params, mesh)
     tx = make_optimizer(tcfg)
     opt_specs = optax.tree_map_params(
-        tx, lambda _, s: s, state.opt_state, param_specs["params"],
+        tx, lambda _, s: s, state.opt_state, zero_specs["params"],
         transform_non_params=lambda _: P())
     state_specs = TrainState(step=P(), params=param_specs,
                              opt_state=opt_specs,
-                             ema_params=param_specs["params"])
+                             ema_params=zero_specs["params"])
     state = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, state_specs)
 
@@ -104,6 +152,14 @@ def test_sharded_train_step_runs_and_updates():
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
     assert int(state2.step) == 1
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_ref["loss"]), rtol=1e-5)
+    # updated params match the single-device step (ZeRO sharding of the
+    # moments is a layout choice, not a math change)
+    for a, r in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-5, rtol=1e-4)
     p_after = jax.tree.leaves(state2.params)[0]
     assert np.abs(np.asarray(p_after) - np.asarray(p_before)).max() > 0
     # EMA moved toward params but is not equal

@@ -359,6 +359,44 @@ def test_decode_latents_uint8_matches_float():
     np.testing.assert_array_equal(u, np.round(f * 255.0).astype(np.uint8))
 
 
+def test_decode_latents_yuv420_matches_host_reference():
+    """Device-side 4:2:0 output == the same BT.601 conversion applied
+    host-side to the float RGB decode (within quantization), and
+    yuv420_to_rgb reconstructs RGB up to ordinary chroma subsampling."""
+    from easyanimate_tpu.utils.media import yuv420_to_rgb
+
+    pipe, cfg, (h, w, vl) = _tiny_pipeline()
+    lat = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (1, 4, 3, h // 2, w // 2)).astype(np.float32))
+    f = pipe.decode_latents(lat)  # float RGB [0,1], (B,3,T,H,W)
+    y, u, v = pipe.decode_latents_yuv420(lat)
+    assert y.dtype == u.dtype == v.dtype == np.uint8
+    assert y.shape == (f.shape[0], f.shape[2], f.shape[3], f.shape[4])
+    assert u.shape == y.shape[:2] + (y.shape[2] // 2, y.shape[3] // 2)
+
+    r, g, b = (f[:, i].astype(np.float64) for i in range(3))
+    y_ref = 0.299 * r + 0.587 * g + 0.114 * b
+    u_ref = -0.168736 * r - 0.331264 * g + 0.5 * b + 0.5
+    v_ref = 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
+    sub = lambda p: 0.25 * (p[..., 0::2, 0::2] + p[..., 1::2, 0::2]
+                            + p[..., 0::2, 1::2] + p[..., 1::2, 1::2])
+    to8 = lambda p: np.round(np.clip(p, 0, 1) * 255).astype(np.int32)
+    assert np.max(np.abs(y.astype(np.int32) - to8(y_ref))) <= 1
+    assert np.max(np.abs(u.astype(np.int32) - to8(sub(u_ref)))) <= 1
+    assert np.max(np.abs(v.astype(np.int32) - to8(sub(v_ref)))) <= 1
+
+    # round trip: matches the host reference reconstruction to +-2 counts
+    up = lambda p: np.repeat(np.repeat(p, 2, axis=-2), 2, axis=-1)
+    uf, vf = up(sub(u_ref)) - 0.5, up(sub(v_ref)) - 0.5
+    rgb_ref = np.stack([y_ref + 1.402 * vf,
+                        y_ref - 0.344136 * uf - 0.714136 * vf,
+                        y_ref + 1.772 * uf], axis=1)
+    rgb_ref = np.clip(np.round(rgb_ref * 255), 0, 255).astype(np.int32)
+    got = yuv420_to_rgb(y, u, v).astype(np.int32)
+    assert got.shape == f.shape
+    assert np.max(np.abs(got - rgb_ref)) <= 2
+
+
 def test_decode_latents_overlapped_matches_serial():
     """The per-chunk overlapped-fetch decode is the same math as the
     single-program decode_latents (cache threads exact conv state); only

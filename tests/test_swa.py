@@ -9,7 +9,34 @@ from easyanimate_tpu.ops.swa import (
     sliding_window_attention,
     swa_joint_attention,
     swa_reference,
+    swa_reference_banded,
 )
+
+
+@pytest.mark.parametrize("s,window", [(300, 40), (256, 64), (200, 50)])
+def test_swa_reference_banded_matches_dense(rng, s, window):
+    """The O(s*window) off-TPU fallback is the same math as the dense
+    masked reference: fwd and grads agree with multiple q blocks, a
+    dynamic kv span, and (at s=300, bq=64) a padded q tail."""
+    b, h, d, bq = 1, 2, 16, 64
+    q, k, v, co = (jnp.asarray(rng.standard_normal((b, h, s, d)),
+                               jnp.float32) for _ in range(4))
+    assert bq + 2 * window < s  # the banded path actually engages
+    o_ref = swa_reference(q, k, v, window)
+    o_band = swa_reference_banded(q, k, v, window, block_q=bq)
+    np.testing.assert_allclose(np.asarray(o_band), np.asarray(o_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v, window) * co)
+
+    g_ref = jax.grad(lambda *a: loss(swa_reference, *a), (0, 1, 2))(q, k, v)
+    g_band = jax.grad(
+        lambda *a: loss(lambda q2, k2, v2, w: swa_reference_banded(
+            q2, k2, v2, w, block_q=bq), *a), (0, 1, 2))(q, k, v)
+    for gr, gb in zip(g_ref, g_band):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("s,window", [(256, 64), (384, 100), (200, 50)])
