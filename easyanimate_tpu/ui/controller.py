@@ -324,7 +324,11 @@ def generate_long_video(
             n = last_tail.shape[2]
             video = video.at[:, :, :n].set(last_tail)
             mask[:, :, :n] = 0.0
-        elif start_image is not None:
+        elif start_image is not None and init_frames == 0:
+            # first window only: with overlap_video_length=0 last_tail stays
+            # None on every iteration, and without the init_frames guard the
+            # start image would be hard-conditioned into frame 0 of EVERY
+            # window (i.e. into the middle of the output)
             video = video.at[0, :, 0].set(jnp.asarray(start_image))
             mask[:, :, 0] = 0.0
         if end_image is not None:

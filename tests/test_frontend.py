@@ -192,6 +192,31 @@ def test_generate_long_video_zero_overlap(rng):
     assert np.isfinite(out).all()
 
 
+def test_long_video_start_image_first_window_only():
+    """start_image conditions frame 0 of the FIRST window only. With
+    overlap_video_length=0 last_tail stays None every iteration, and an
+    unguarded `elif start_image` branch used to hard-condition the start
+    image into frame 0 of EVERY window (i.e. the middle of the video)."""
+    masks = []
+
+    class _FakePipe:
+        def __call__(self, pos, neg, *, video, mask_video, height, width,
+                     video_length, rng=None, **kw):
+            masks.append(np.asarray(mask_video))
+            return np.zeros((1, 3, video_length, height, width), np.float32)
+
+    pos = np.zeros((1, 4, 8), np.float32)
+    start = np.full((3, 8, 8), 0.7, np.float32)
+    generate_long_video(
+        _FakePipe(), pos, pos, total_length=13, partial_video_length=5,
+        overlap_video_length=0, height=8, width=8,
+        num_inference_steps=2, guidance_scale=2.0, start_image=start)
+    assert len(masks) >= 2
+    assert masks[0][0, 0, 0].min() == 0.0      # first window: conditioned
+    for m in masks[1:]:                        # later windows: unconditioned
+        assert m.min() == 1.0
+
+
 def test_post_infer_client_roundtrip(tmp_path):
     from easyanimate_tpu.api.client import post_infer
 
