@@ -168,6 +168,79 @@ def openai_compatible_vlm_fn(
     return vlm
 
 
+def local_hf_vlm_fn(
+    model, tokenizer, image_processor, *,
+    input_prompt: str = "Describe this video in detail. Don't repeat.",
+    num_frames: int = 8, max_new_tokens: int = 256,
+) -> Callable[[str], str]:
+    """IN-PROCESS VLM recaption (internvl2_video_recaptioning.py:1-264
+    class: the reference loads InternVL2-40B-AWQ via lmdeploy and runs its
+    pipeline() in the same process; lmdeploy/vllm are not in this image, so
+    this runs any transformers Qwen2-VL-family vision-language model
+    in-process instead — the same model family whose text tower this repo
+    already ships as a prompt encoder, models/text/qwen2.py).
+
+    Takes the three HF pieces separately (model + tokenizer +
+    image_processor, e.g. from `Qwen2VLForConditionalGeneration
+    .from_pretrained` / `AutoTokenizer` / `AutoImageProcessor`) rather than
+    a combined `AutoProcessor`: transformers' Qwen2VLProcessor hard-requires
+    a torchvision-backed video processor that this image lacks, and the
+    processor's only non-trivial job — expanding each image placeholder to
+    `prod(grid_thw)/merge_size^2` image-pad tokens — is done here directly.
+    Vision token ids come from `model.config`, so any checkpoint's special
+    tokens are honored. Deterministic (greedy) generation, matching the
+    reference's batch-recaption usage."""
+    import torch
+
+    from .filters import _sample_frames
+
+    cfg = model.config
+    im_tok = tokenizer.convert_ids_to_tokens(cfg.image_token_id)
+    vis_start = tokenizer.convert_ids_to_tokens(cfg.vision_start_token_id)
+    vis_end = tokenizer.convert_ids_to_tokens(cfg.vision_end_token_id)
+    merge = int(getattr(image_processor, "merge_size", 2))
+
+    def vlm(video_path: str) -> str:
+        frames = _sample_frames(video_path, num=num_frames)
+        if not frames:
+            raise ValueError(f"no decodable frames in {video_path}")
+        enc = image_processor(images=frames, return_tensors="pt")
+        parts = []
+        for g in enc["image_grid_thw"]:
+            n = int(g.prod()) // merge ** 2
+            parts.append(vis_start + im_tok * n + vis_end)
+        text = ("<|im_start|>user\n" + "".join(parts) + input_prompt
+                + "<|im_end|>\n<|im_start|>assistant\n")
+        batch = tokenizer([text], return_tensors="pt")
+        with torch.no_grad():
+            out = model.generate(
+                **batch, pixel_values=enc["pixel_values"],
+                image_grid_thw=enc["image_grid_thw"],
+                max_new_tokens=max_new_tokens, do_sample=False,
+                pad_token_id=(tokenizer.pad_token_id
+                              if tokenizer.pad_token_id is not None
+                              else tokenizer.eos_token_id))
+        gen = out[0][batch["input_ids"].shape[1]:]
+        return tokenizer.decode(gen, skip_special_tokens=True).strip()
+
+    return vlm
+
+
+def load_hf_vlm(path: str, dtype=None):
+    """Load a local HF Qwen2-VL-family checkpoint directory into the
+    (model, tokenizer, image_processor) triple `local_hf_vlm_fn` takes.
+    No-network: `path` must be an on-disk checkpoint."""
+    import torch
+    from transformers import (AutoImageProcessor, AutoTokenizer,
+                              Qwen2VLForConditionalGeneration)
+
+    model = Qwen2VLForConditionalGeneration.from_pretrained(
+        path, dtype=dtype or torch.float32).eval()
+    tokenizer = AutoTokenizer.from_pretrained(path)
+    image_processor = AutoImageProcessor.from_pretrained(path)
+    return model, tokenizer, image_processor
+
+
 def gather_jsonl(paths: Iterable[str]) -> List[dict]:
     """utils/gather_jsonl.py: merge sharded jsonl outputs."""
     rows: List[dict] = []

@@ -439,3 +439,70 @@ def test_openai_compatible_vlm_full_schema_and_error_paths(tmp_path):
             assert out[0]["text"] == "orig"
     finally:
         srv.shutdown()
+
+
+def _tiny_qwen2vl():
+    """Tiny random-weight Qwen2-VL: byte-alphabet BPE tokenizer + 28x28
+    vision grid + 2-layer LM. Exercises the REAL transformers
+    vision-conditioned generate path local_hf_vlm_fn drives."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+    from transformers import (Qwen2TokenizerFast, Qwen2VLConfig,
+                              Qwen2VLForConditionalGeneration,
+                              Qwen2VLImageProcessor)
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    alphabet = list(bytes_to_unicode().values())
+    raw = Tokenizer(models.BPE(vocab={c: i for i, c in enumerate(alphabet)},
+                               merges=[]))
+    raw.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    raw.decoder = decoders.ByteLevel()
+    tok = Qwen2TokenizerFast(tokenizer_object=raw)
+    specials = ["<|endoftext|>", "<|im_start|>", "<|im_end|>",
+                "<|vision_start|>", "<|vision_end|>", "<|image_pad|>",
+                "<|video_pad|>"]
+    tok.add_special_tokens({"additional_special_tokens": specials,
+                            "eos_token": "<|im_end|>",
+                            "pad_token": "<|endoftext|>"})
+    ids = {s: tok.convert_tokens_to_ids(s) for s in specials}
+    ip = Qwen2VLImageProcessor(min_pixels=28 * 28, max_pixels=28 * 28)
+    cfg = Qwen2VLConfig(
+        vocab_size=len(tok), hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_scaling={"type": "mrope", "mrope_section": [1, 1, 2]},
+        image_token_id=ids["<|image_pad|>"],
+        video_token_id=ids["<|video_pad|>"],
+        vision_start_token_id=ids["<|vision_start|>"],
+        vision_end_token_id=ids["<|vision_end|>"],
+        bos_token_id=ids["<|endoftext|>"], eos_token_id=ids["<|im_end|>"],
+        vision_config=dict(depth=2, embed_dim=32, hidden_size=32,
+                           num_heads=4, in_chans=3, spatial_merge_size=2,
+                           patch_size=14, temporal_patch_size=2,
+                           mlp_ratio=2))
+    torch.manual_seed(0)
+    model = Qwen2VLForConditionalGeneration(cfg).eval()
+    return model, tok, ip
+
+
+def test_local_hf_vlm_recaption_in_process(tmp_path):
+    """In-process VLM recaption (internvl2_video_recaptioning.py class):
+    frames -> vision tower -> autoregressive caption, no server. The tiny
+    random model's caption is gibberish but must be a deterministic
+    non-special-token string threaded into the manifest."""
+    from easyanimate_tpu.video_caption.recaption import (local_hf_vlm_fn,
+                                                         recaption_videos)
+
+    vid = str(tmp_path / "v.mp4")
+    _write_video(vid, [(12, "moving")], size=32)
+    model, tok, ip = _tiny_qwen2vl()
+    vlm = local_hf_vlm_fn(model, tok, ip, num_frames=4, max_new_tokens=6)
+    cap1, cap2 = vlm(vid), vlm(vid)
+    assert isinstance(cap1, str) and cap1 == cap2  # greedy => deterministic
+    assert "<|" not in cap1                        # specials stripped
+    out = recaption_videos([{"file_path": vid, "text": "orig"},
+                            {"file_path": str(tmp_path / "missing.mp4"),
+                             "text": "keep"}], vlm)
+    assert out[0]["text"] == cap1
+    assert out[1]["text"] == "keep"  # failed entries keep original
