@@ -75,7 +75,22 @@ def infer_forward(controller, payload: dict) -> dict:
         kwargs["start_image"] = decode_image_b64(payload["start_image"])
     if payload.get("end_image"):
         kwargs["end_image"] = decode_image_b64(payload["end_image"])
+    if (payload.get("yuv420_fetch", True)
+            and getattr(controller, "supports_yuv420_fetch", False)):
+        # default-on when the controller implements it: the video comes
+        # back as device-subsampled BT.601 4:2:0 planes (half the
+        # device->host bytes — the dominant decode-side cost on tunneled
+        # chips) and RGB is reconstructed host-side below, feeding an mp4
+        # encoder that is 4:2:0 anyway. `"yuv420_fetch": false` opts a
+        # request back into the full-RGB fetch. Long-video / stub / remote
+        # controllers simply return RGB and take the plain path.
+        kwargs["fetch_yuv420"] = True
     video = controller.generate(**kwargs)
+    from ..utils.media import YUV420Video, yuv420_to_rgb
+
+    if isinstance(video, YUV420Video):
+        video = yuv420_to_rgb(video.y, video.u, video.v
+                              ).astype(np.float32) / 255.0
     return {
         "message": "Success",
         "base64_encoding": encode_video_b64(

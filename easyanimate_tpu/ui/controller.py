@@ -46,6 +46,11 @@ class EasyAnimateController:
     _gen_lock: object = dataclasses.field(
         default_factory=threading.Lock, init=False)
 
+    #: the API server checks this before passing fetch_yuv420=True (plain
+    #: class attribute, not a dataclass field); stub/remote controllers
+    #: without it get the RGB path
+    supports_yuv420_fetch = True
+
     # -- model management ---------------------------------------------------
 
     def update_diffusion_transformer(self, path: str):
@@ -177,6 +182,7 @@ class EasyAnimateController:
         source_video: Optional[np.ndarray] = None,
         denoise_strength: float = 0.7,
         sampler: Optional[str] = None,
+        fetch_yuv420: bool = False,
         **kw,
     ) -> np.ndarray:
         if self._default_scheduler is None:
@@ -228,9 +234,25 @@ class EasyAnimateController:
                 **kw)
         kw.pop("partial_video_length", None)
         kw.pop("overlap_video_length", None)
+        # device-subsampled 4:2:0 fetch (pipeline decode_latents_yuv420):
+        # halves the device->host bytes, lossless in the delivered 4:2:0
+        # mp4. Engaged by the API server by default; needs even spatial
+        # dims (always true for the /8-multiple generation sizes)
+        use_yuv = fetch_yuv420 and height % 2 == 0 and width % 2 == 0
+
+        def run_pipe(**pkw):
+            if not use_yuv:
+                return self.pipeline(**pkw)
+            latents = self.pipeline(**pkw, decode=False,
+                                    output_type="latent")
+            from ..utils.media import YUV420Video
+
+            return YUV420Video(*self.pipeline.decode_latents_yuv420(latents))
+
         if start_image is None and source_video is None:
-            return self.pipeline(
-                pos, neg, height=height, width=width,
+            return run_pipe(
+                prompt_embeds=pos, negative_prompt_embeds=neg,
+                height=height, width=width,
                 video_length=video_length, num_inference_steps=sample_steps,
                 guidance_scale=cfg_scale, rng=rng, **kw)
         assert isinstance(self.pipeline, EasyAnimateInpaintPipeline), \
@@ -243,8 +265,9 @@ class EasyAnimateController:
             v, m = get_image_to_video_latent(
                 start_image, end_image, video_length, (height, width))
             video, mask, strength = jnp.asarray(v), jnp.asarray(m), 1.0
-        return self.pipeline(
-            pos, neg, video=video, mask_video=mask, strength=strength,
+        return run_pipe(
+            prompt_embeds=pos, negative_prompt_embeds=neg,
+            video=video, mask_video=mask, strength=strength,
             height=height, width=width, video_length=video_length,
             num_inference_steps=sample_steps, guidance_scale=cfg_scale,
             rng=rng, **kw)

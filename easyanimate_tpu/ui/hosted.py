@@ -54,6 +54,12 @@ class HostedController:
         self.max_video_length = max_video_length
         self.max_steps = max_steps
 
+    @property
+    def supports_yuv420_fetch(self) -> bool:
+        """Delegated: the API server may use the halved 4:2:0 fetch iff the
+        wrapped controller implements it."""
+        return getattr(self._inner, "supports_yuv420_fetch", False)
+
     # -- locked management ops ---------------------------------------------
 
     def update_diffusion_transformer(self, path: str):

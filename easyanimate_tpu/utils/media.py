@@ -7,7 +7,7 @@ Parity target: easyanimate/utils/utils.py --
 Host-side numpy/imageio; no torch.
 """
 import os
-from typing import Optional, Tuple, Union
+from typing import NamedTuple, Optional, Tuple, Union
 
 import numpy as np
 
@@ -19,6 +19,18 @@ def _to_thwc_uint8(video: np.ndarray, rescale: bool = False) -> np.ndarray:
         v = v / 2 + 0.5
     v = np.clip(v, 0, 1)
     return (np.transpose(v, (1, 2, 3, 0)) * 255).astype(np.uint8)
+
+
+class YUV420Video(NamedTuple):
+    """Device-subsampled 4:2:0 generation result (controller
+    `fetch_yuv420=True`): y (B, T, H, W) uint8, u/v (B, T, H/2, W/2) uint8,
+    full-range BT.601. Carried instead of (B, 3, T, H, W) RGB so the
+    device->host fetch moves 1.5 bytes/pixel instead of 3; the API server
+    reconstructs RGB host-side (yuv420_to_rgb) only to feed the mp4
+    encoder, whose output is 4:2:0 anyway."""
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
 
 
 def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:

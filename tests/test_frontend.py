@@ -522,3 +522,66 @@ def test_remote_controller_against_live_server():
             remote.update_lora("missing.safetensors")  # _FakeController: no op
     finally:
         srv.shutdown()
+
+
+def test_yuv420_fetch_serving_path():
+    """The API server engages the halved device->host 4:2:0 fetch by
+    default on controllers that implement it (controller fetch_yuv420 ->
+    pipeline decode_latents_yuv420 -> host yuv420_to_rgb before the mp4
+    encoder). Checks the plane shapes, reconstruction closeness to the
+    full-RGB path at the same seed (luma exact up to rounding/clipping;
+    chroma up to 2x2 subsampling), the protocol-level default-on/opt-out,
+    and that stub controllers without the capability take the RGB path."""
+    from easyanimate_tpu.utils.media import YUV420Video, yuv420_to_rgb
+
+    pipe, cfg = _tiny_inpaint_pipe()
+
+    def encode_text(prompts):
+        return {"text": jnp.ones((len(prompts), 6, cfg.text_embed_dim),
+                                 jnp.float32) * 0.01}
+
+    ctl = EasyAnimateController(pipeline=pipe, encode_text=encode_text)
+    kw = dict(prompt="a cat", sample_steps=2, width=32, height=32,
+              video_length=5, cfg_scale=1.0, seed=7)
+    out = ctl.generate(**kw, fetch_yuv420=True)
+    assert isinstance(out, YUV420Video)
+    assert out.y.shape == (1, 5, 32, 32) and out.y.dtype == np.uint8
+    assert out.u.shape == out.v.shape == (1, 5, 16, 16)
+
+    rgb_ref = np.asarray(ctl.generate(**kw))  # same seed, full-RGB path
+    rec = yuv420_to_rgb(out.y, out.u, out.v).astype(np.float32) / 255.0
+    assert rec.shape == rgb_ref.shape == (1, 3, 5, 32, 32)
+    # luma survives the round trip almost exactly (the y plane is full
+    # resolution; error = uint8 rounding + clipping of chroma overshoot)
+    def luma(x):
+        return 0.299 * x[:, 0] + 0.587 * x[:, 1] + 0.114 * x[:, 2]
+    assert np.mean(np.abs(luma(rec) - luma(rgb_ref))) < 0.02
+    # the fetched planes ARE the NumPy re-derivation of the RGB-path output
+    # (same decode, BT.601 + 2x2 box chroma in float, then quantize) up to
+    # float/uint8 rounding — i.e. the ONLY loss vs the RGB path is the
+    # 4:2:0 subsample the delivered mp4 applies anyway
+    r, g, b = rgb_ref[:, 0], rgb_ref[:, 1], rgb_ref[:, 2]
+    ny = 0.299 * r + 0.587 * g + 0.114 * b
+    nu = -0.168736 * r - 0.331264 * g + 0.5 * b + 0.5
+    nv = 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
+    sub = lambda p: 0.25 * (p[..., 0::2, 0::2] + p[..., 1::2, 0::2]
+                            + p[..., 0::2, 1::2] + p[..., 1::2, 1::2])
+    to8 = lambda p: np.round(np.clip(p, 0, 1) * 255.0)
+    assert np.max(np.abs(to8(ny) - out.y.astype(np.float64))) <= 1
+    assert np.max(np.abs(to8(sub(nu)) - out.u.astype(np.float64))) <= 1
+    assert np.max(np.abs(to8(sub(nv)) - out.v.astype(np.float64))) <= 1
+
+    # protocol layer: default-on for capable controllers, opt-out honored
+    payload = {"prompt_textbox": "a cat", "length_slider": 5,
+               "width_slider": 32, "height_slider": 32,
+               "sample_step_slider": 2, "cfg_scale_slider": 1.0,
+               "seed_textbox": 7}
+    r_yuv = infer_forward(ctl, dict(payload))
+    r_rgb = infer_forward(ctl, dict(payload, yuv420_fetch=False))
+    assert r_yuv["message"] == r_rgb["message"] == "Success"
+    assert len(r_yuv["base64_encoding"]) > 0
+
+    # stub controller without the capability: no fetch_yuv420 kwarg leaks
+    fake = _FakeController()
+    assert infer_forward(fake, dict(payload))["message"] == "Success"
+    assert "fetch_yuv420" not in fake.last
